@@ -1,0 +1,80 @@
+"""Configuration constants for the extraction pipeline.
+
+The numeric constants mirror the reference's hard-coded thresholds
+(``eynollah.py:77-81``: SLOPE_THRESHOLD=0.13, RATIO_OF_TWO_MODEL_THRESHOLD=95.50,
+DPI_THRESHOLD=298, KERNEL=5x5) transposed to the text domain.  They are a
+frozen part of the *spec*: the single-node oracle and the Spark kernel
+both read them from here, so there is exactly one source of truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # --- patch harness (do_prediction analog, eynollah.py:522-639) ---
+    # lines per patch fed to the line classifier; margin = overlap kept
+    # on each side and discarded at stitch time (margin = 0.1 * patch
+    # in the reference, eynollah.py:550).
+    patch_lines: int = 64
+    patch_margin: int = 6
+
+    # --- two-model ensemble gate (eynollah.py:1205-1230) ---
+    # agreement percentage below which the "binarized retry" path runs
+    # (reference: rate_two_models <= 40 -> rerun on binarized input).
+    binarize_retry_threshold: float = 40.0
+    # agreement percentage treated as "models agree" (reference
+    # RATIO_OF_TWO_MODEL_THRESHOLD = 95.50, eynollah.py:78).
+    agreement_threshold: float = 95.50
+
+    # --- page border (extract_page analog, eynollah.py:673-710) ---
+    # how many leading/trailing lines are searched for the boilerplate
+    # banner/footer (reference: border snapped when margin <= 30 px,
+    # eynollah.py:688-697).
+    border_scan_lines: int = 3
+
+    # --- column detection (find_num_col analog, utils/__init__.py:363-532) ---
+    gutter_sigma: float = 2.0          # gaussian_filter1d sigma over the ink profile
+    gutter_rel_depth: float = 0.10     # valley must be < 10% of profile max
+    gutter_min_frac: float = 0.15      # gutters only in [15%, 85%] of width
+    gutter_max_frac: float = 0.85
+    min_block_lines: int = 3           # blocks shorter than this are single-column
+    max_columns: int = 3
+
+    # --- deskew (return_deskew_slop analog, separate_lines.py:1572-1798) ---
+    slope_threshold: float = 0.13      # SLOPE_THRESHOLD, eynollah.py:79
+
+    # --- merging heuristics ---
+    # small-fragment adherence (small_textlines_to_parent_adherence2,
+    # utils/__init__.py:860-991): stripped length <= this merges into a
+    # neighbor span of the same region.
+    small_fragment_max_len: int = 2
+    # separator line: stripped length >= this, drawn only from SEP_CHARS
+    separator_min_len: int = 3
+    # header line max length (headers are wide+short in the reference,
+    # w/h >= 1.3 vote at utils/__init__.py:799-858)
+    header_max_len: int = 60
+
+    # band split: this many consecutive blank lines splits bands even
+    # without a separator rule
+    band_blank_gap: int = 2
+
+
+DEFAULT_CONFIG = ExtractConfig()
+
+# character set that makes a separator rule line (class 3/"separator",
+# codes asserted at eynollah.py:1269-1282)
+SEP_CHARS = frozenset("-*=_—–~")
+
+# region types (PAGE-XML region types, writer.py:142-248)
+RT_TEXT = "text"
+RT_HEADER = "header"
+RT_MARGINALIA = "marginalia"
+RT_DROPCAP = "drop-capital"
+RT_TOOL = "tool"
+RT_SEPARATOR = "separator"
+
+# footer prefixes for page-border stripping (extract_page analog)
+FOOTER_PREFIXES = ("(c)", "©", "Legal:")

@@ -1,0 +1,517 @@
+"""Vectorized text-page layout kernel (implements kernel/SPEC.md).
+
+This is what Spark executes inside ``mapInPandas``: per Arrow batch,
+all character-level work (line classification, binarization, ink
+profiles) is done with pandas/numpy vectorized string ops across the
+*flattened line array of the whole batch*; only the cheap per-page
+region assembly (a state machine over a few dozen line labels) runs as
+Python, mirroring how the reference iterates over per-page contour
+lists after vectorized numpy/OpenCV passes.
+
+Reference parity (all citations into /root/reference/qurator/eynollah):
+- two-model classification + binarized-retry gate: eynollah.py:1148-1379
+- patch-wise inference with overlap-margin stitching (do_prediction):
+  eynollah.py:522-639 -> ``LineModel.classify_patched``
+- page border extraction: eynollah.py:673-710
+- column split (find_num_col): utils/__init__.py:363-532
+- reading order (order_of_regions): utils/__init__.py:993-1156
+- drop-capital adherence: utils/drop_capitals.py:9-347
+- small-textline adherence: utils/__init__.py:860-991
+- deskew slope (fitLine): utils/__init__.py:331-332
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from eynollah_spark.config import (
+    DEFAULT_CONFIG,
+    ExtractConfig,
+    FOOTER_PREFIXES,
+    RT_DROPCAP,
+    RT_HEADER,
+    RT_MARGINALIA,
+    RT_SEPARATOR,
+    RT_TEXT,
+    RT_TOOL,
+    SEP_CHARS,
+)
+
+# integer line classes (pixel-code analog, eynollah.py:1269-1282)
+C_BLANK, C_SEP, C_MARG, C_HEADER, C_DROPCAP, C_TEXT = 0, 1, 2, 3, 4, 5
+# assigned outside the classifier:
+C_FENCE, C_TOOL = 6, 7
+
+_SEP_RE = "^[" + re.escape("".join(sorted(SEP_CHARS))) + "]{3,}$"
+_HEADER_RE = r"^(?:#{1,6} |[A-Z][A-Z0-9_]{2,11}:)"
+_NONASCII_RE = r"[^\x00-\x7f]"
+
+
+class LineModel:
+    """The broadcastable 'model weights' for line classification.
+
+    Stand-in for the reference's CNN ensemble (M4/M5,
+    eynollah.py:140-141): a deterministic rule model whose parameters
+    (regexes + thresholds) are broadcast once via ``sc.broadcast`` and
+    applied to whole Arrow batches — the north-rule requirement that
+    weights are shipped once per executor, not per task closure.
+    """
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    # --- model A / model B shared rule head -------------------------------
+    def classify_stripped(self, stripped: pd.Series) -> np.ndarray:
+        """Vectorized SPEC §4 rules over a Series of stripped lines."""
+        cfg = self.cfg
+        n = len(stripped)
+        out = np.full(n, C_TEXT, dtype=np.int8)
+        slen = stripped.str.len().to_numpy()
+
+        blank = slen == 0
+        sep = stripped.str.match(_SEP_RE, na=False).to_numpy()
+        marg = (
+            stripped.str.startswith("[note:", na=False)
+            & stripped.str.endswith("]", na=False)
+        ).to_numpy()
+        header = (
+            stripped.str.match(_HEADER_RE, na=False).to_numpy()
+            & (slen <= cfg.header_max_len)
+        )
+        first = stripped.str.slice(0, 1)
+        dropcap = (slen == 1) & (first >= "A").to_numpy() & (first <= "Z").to_numpy()
+
+        # first-match-wins precedence, applied in reverse priority
+        out[dropcap] = C_DROPCAP
+        out[header] = C_HEADER
+        out[marg] = C_MARG
+        out[sep] = C_SEP
+        out[blank] = C_BLANK
+        return out
+
+    def classify_patched(self, stripped: pd.Series) -> np.ndarray:
+        """Patch-wise application with overlap-margin stitching — the
+        do_prediction graft (eynollah.py:522-639): the line array is
+        tiled into patches of ``patch_lines`` with ``patch_margin``
+        overlap on each side; only each patch's interior is written to
+        the output (first/last patches keep their outer edge, the 9-case
+        interior rule at eynollah.py:590-634 collapsed to 1-D)."""
+        cfg = self.cfg
+        n = len(stripped)
+        step = cfg.patch_lines - 2 * cfg.patch_margin
+        if n <= cfg.patch_lines or step <= 0:
+            return self.classify_stripped(stripped)
+        out = np.empty(n, dtype=np.int8)
+        start = 0
+        while start < n:
+            lo = max(0, start - cfg.patch_margin)
+            hi = min(n, start + step + cfg.patch_margin)
+            pred = self.classify_stripped(stripped.iloc[lo:hi])
+            w_lo = start
+            w_hi = min(n, start + step)
+            out[w_lo:w_hi] = pred[w_lo - lo : w_hi - lo]
+            start += step
+        return out
+
+
+def _flatten_lines(texts: pd.Series):
+    """Split a batch of turn texts into one flat line array.
+
+    Returns (lines: pd.Series[str], turn_ord: int64[], line_start: int64[],
+    n_lines_per_turn: int64[]). line_start is the char offset of each
+    line within its own turn text.
+    """
+    split = texts.fillna("").str.split("\n")
+    n_per = split.str.len().to_numpy(dtype=np.int64)
+    lines = pd.Series(
+        [ln for lst in split for ln in lst], dtype="object"
+    )
+    turn_ord = np.repeat(np.arange(len(texts), dtype=np.int64), n_per)
+    # offsets: cumsum of (len+1) within each turn
+    lens = lines.str.len().to_numpy(dtype=np.int64)
+    csum = np.cumsum(lens + 1)
+    start_of_turn = np.zeros(len(lines), dtype=np.int64)
+    turn_first = np.zeros(len(texts), dtype=np.int64)
+    if len(texts):
+        turn_first[1:] = np.cumsum(n_per)[:-1]
+    # line_start[i] = csum[i-1] - csum[turn_first[turn]-1]-ish; simpler:
+    global_start = np.concatenate(([0], csum[:-1]))
+    base = np.zeros(len(lines), dtype=np.int64)
+    nonzero = n_per > 0
+    base_vals = global_start[turn_first[nonzero]]
+    base = np.repeat(base_vals, n_per[nonzero])
+    line_start = global_start - base
+    del start_of_turn
+    return lines, turn_ord, line_start, n_per
+
+
+SPAN_COLUMNS = [
+    "span_idx",
+    "region_type",
+    "region_seq",
+    "char_start",
+    "char_end",
+    "text",
+]
+
+
+def analyze_turns_batch(
+    pdf: pd.DataFrame, model: LineModel | None = None
+) -> pd.DataFrame:
+    """Batch kernel: pdf has columns (conv_id, turn_idx, role, text);
+    returns (conv_id, turn_idx, span_idx, region_type, region_seq,
+    char_start, char_end, text)."""
+    return _analyze_batch(pdf, model, want_diag=False)
+
+
+def page_diags_batch(
+    pdf: pd.DataFrame, model: LineModel | None = None
+) -> pd.DataFrame:
+    """Per-page diagnostics (SPEC §11)."""
+    return _analyze_batch(pdf, model, want_diag=True)
+
+
+def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
+    if model is None:
+        model = LineModel()
+    cfg = model.cfg
+    texts = pdf["text"].astype("object").fillna("")
+    roles = pdf["role"].to_numpy()
+
+    lines, turn_ord, line_start, n_per = _flatten_lines(texts)
+
+    # --- vectorized per-line features over the whole batch ---
+    stripped = lines.str.strip()
+    lstr_len = lines.str.len().to_numpy(np.int64) - lines.str.lstrip().str.len().to_numpy(np.int64)
+    s_len = stripped.str.len().to_numpy(np.int64)
+    raw_len = lines.str.len().to_numpy(np.int64)
+
+    is_banner = (
+        (s_len >= 6)
+        & stripped.str.startswith("===", na=False).to_numpy()
+        & stripped.str.endswith("===", na=False).to_numpy()
+    )
+    is_footer = np.zeros(len(lines), dtype=bool)
+    for p in FOOTER_PREFIXES:
+        is_footer |= stripped.str.startswith(p, na=False).to_numpy()
+    is_fence_marker = stripped.str.startswith("```", na=False).to_numpy()
+
+    cls_a = model.classify_patched(stripped)
+    # model B: binarized retry input (eynollah.py:1230-1266)
+    bin_stripped = lines.str.replace(_NONASCII_RE, "", regex=True).str.strip()
+    cls_b = model.classify_patched(bin_stripped)
+
+    # --- per-turn assembly ---
+    span_rows = []
+    diag_rows = []
+    offsets = np.zeros(len(n_per) + 1, dtype=np.int64)
+    np.cumsum(n_per, out=offsets[1:])
+
+    for t in range(len(pdf)):
+        o, e = offsets[t], offsets[t + 1]
+        t_lines = lines.iloc[o:e]
+        res = _assemble_page(
+            t_lines.to_numpy(),
+            stripped.iloc[o:e].to_numpy(),
+            line_start[o:e],
+            lstr_len[o:e],
+            s_len[o:e],
+            raw_len[o:e],
+            is_banner[o:e],
+            is_footer[o:e],
+            is_fence_marker[o:e],
+            cls_a[o:e],
+            cls_b[o:e],
+            roles[t],
+            cfg,
+            want_diag,
+        )
+        if want_diag:
+            diag_rows.append(res)
+        else:
+            for row in res:
+                span_rows.append((t,) + row)
+
+    if want_diag:
+        out = pd.DataFrame(
+            diag_rows,
+            columns=[
+                "n_lines",
+                "n_spans",
+                "n_regions",
+                "max_columns",
+                "slope",
+                "is_deskewed",
+                "agreement_ratio",
+                "used_binarized",
+            ],
+        )
+        out.insert(0, "conv_id", pdf["conv_id"].to_numpy())
+        out.insert(1, "turn_idx", pdf["turn_idx"].to_numpy())
+        return out
+
+    out = pd.DataFrame(
+        span_rows, columns=["_t"] + SPAN_COLUMNS
+    )
+    if len(out):
+        out.insert(0, "conv_id", pdf["conv_id"].to_numpy()[out["_t"].to_numpy()])
+        out.insert(1, "turn_idx", pdf["turn_idx"].to_numpy()[out["_t"].to_numpy()])
+    else:
+        out.insert(0, "conv_id", pd.Series([], dtype="object"))
+        out.insert(1, "turn_idx", pd.Series([], dtype="int64"))
+    return out.drop(columns=["_t"])
+
+
+def _assemble_page(
+    raw, strp, lstart, lead, slen, rlen,
+    banner, footer, fence_marker, cls_a, cls_b,
+    role, cfg: ExtractConfig, want_diag: bool,
+):
+    """Region assembly for one page. Arrays are per-line, precomputed
+    vectorized. Returns span tuples (span_idx, region_type, region_seq,
+    char_start, char_end, text) or a diag tuple."""
+    n = len(raw)
+
+    def diag_or_spans(spans, regions, max_cols, slope, ratio, used_b):
+        if want_diag:
+            return (
+                n, len(spans), regions, max_cols, slope,
+                bool(abs(slope) >= cfg.slope_threshold), ratio, used_b,
+            )
+        return spans
+
+    # §1 tool turns
+    if role == "tool":
+        spans = []
+        for i in range(n):
+            if slen[i] > 0:
+                cs = int(lstart[i] + lead[i])
+                spans.append((len(spans), RT_TOOL, 0, cs, cs + int(slen[i]), strp[i]))
+        return diag_or_spans(spans, 1 if spans else 0, 1, 0.0, 100.0, False)
+
+    # §2 border strip
+    lo, hi = 0, n
+    for k in range(min(cfg.border_scan_lines, n)):
+        if banner[k]:
+            lo = k + 1
+            break
+    for k in range(max(lo, n - cfg.border_scan_lines), n):
+        if footer[k]:
+            hi = k
+            break
+
+    # §3 fences (cumulative toggle)
+    fm = fence_marker[lo:hi]
+    in_fence_after = np.cumsum(fm) % 2 == 1
+    in_fence_before = np.concatenate(([False], in_fence_after[:-1]))
+
+    # §4 agreement gate
+    classifiable = ~fm & ~in_fence_before
+    n_cl = int(classifiable.sum())
+    if n_cl:
+        agree = int((cls_a[lo:hi][classifiable] == cls_b[lo:hi][classifiable]).sum())
+        ratio = 100.0 * agree / n_cl
+    else:
+        ratio = 100.0
+    used_b = ratio <= cfg.binarize_retry_threshold
+    cls = (cls_b if used_b else cls_a)[lo:hi].copy()
+    cls[in_fence_before & ~fm] = C_TOOL
+    cls[fm] = C_FENCE
+
+    # §5 regions + bands (state machine over <= a few hundred labels)
+    regions = []  # (rtype, band, first_line, col_idx, line_indices)
+    band = 0
+    blank_run = 0
+    cur_type = None
+    cur_lines: list[int] = []
+    cur_first = -1
+    cur_band = 0
+    RUNTYPES = {C_TEXT: RT_TEXT, C_TOOL: RT_TOOL, C_MARG: RT_MARGINALIA}
+
+    def close():
+        nonlocal cur_type, cur_lines
+        if cur_type is not None:
+            regions.append([cur_type, cur_band, cur_first, 0, cur_lines])
+            cur_type, cur_lines = None, []
+
+    for j in range(hi - lo):
+        i = lo + j
+        c = cls[j]
+        if c == C_BLANK:
+            blank_run += 1
+            if blank_run == cfg.band_blank_gap:
+                band += 1
+            close()
+            continue
+        blank_run = 0
+        if c == C_FENCE:
+            close()
+            continue
+        if c in RUNTYPES:
+            rt = RUNTYPES[c]
+            if cur_type == rt:
+                cur_lines.append(i)
+            else:
+                close()
+                cur_type, cur_first, cur_band, cur_lines = rt, i, band, [i]
+        elif c == C_HEADER:
+            close()
+            regions.append([RT_HEADER, band, i, 0, [i]])
+        elif c == C_DROPCAP:
+            close()
+            regions.append(["dropcap", band, i, 0, [i]])
+        elif c == C_SEP:
+            close()
+            regions.append([RT_SEPARATOR, band, i, 0, [i]])
+            band += 1
+    close()
+
+    # §6 column split + span materialization
+    out_regions = []  # (rtype, band, first_line, col_idx, [(cs, ce, text)])
+    max_cols = 1
+    sx: list[int] = []
+    sy: list[int] = []
+
+    def strip_span(i):
+        cs = int(lstart[i] + lead[i])
+        return (cs, cs + int(slen[i]), strp[i])
+
+    for rtype, rband, rfirst, _c, lids in regions:
+        if rtype == RT_TEXT:
+            gutters = (
+                _find_gutters(raw, rlen, lids, cfg)
+                if len(lids) >= cfg.min_block_lines
+                else []
+            )
+            if gutters:
+                max_cols = max(max_cols, len(gutters) + 1)
+                w = int(max(rlen[i] for i in lids))
+                segs = []
+                prev = 0
+                for g0, g1 in gutters:
+                    segs.append((prev, g0))
+                    prev = g1 + 1
+                segs.append((prev, w))
+                for col, (a, b) in enumerate(segs):
+                    col_spans = []
+                    for i in lids:
+                        piece = raw[i][a:b]
+                        s = piece.strip()
+                        if not s:
+                            continue
+                        pl = len(piece) - len(piece.lstrip())
+                        cs = int(lstart[i]) + a + pl
+                        col_spans.append((cs, cs + len(s), s))
+                    if col_spans:
+                        out_regions.append([RT_TEXT, rband, rfirst, col, col_spans])
+                continue
+            for k, i in enumerate(lids):
+                sx.append(k)
+                sy.append(int(lead[i]))
+            spans = [strip_span(i) for i in lids if slen[i] > 0]
+            if spans:
+                out_regions.append([RT_TEXT, rband, rfirst, 0, spans])
+        else:
+            spans = [strip_span(i) for i in lids if slen[i] > 0]
+            if spans:
+                out_regions.append([rtype, rband, rfirst, 0, spans])
+
+    slope = 0.0
+    if len(sx) >= 2:
+        ax = np.asarray(sx, dtype=np.float64)
+        ay = np.asarray(sy, dtype=np.float64)
+        var = float(((ax - ax.mean()) ** 2).sum())
+        if var > 0:
+            slope = float(((ax - ax.mean()) * (ay - ay.mean())).sum()) / var
+
+    # §7 reading order
+    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
+    out_regions.sort(key=lambda r: (r[1], tg[r[0]], r[2], r[3]))
+
+    # §8 drop-capital merge
+    merged = []
+    i = 0
+    while i < len(out_regions):
+        r = out_regions[i]
+        if (
+            r[0] == "dropcap"
+            and i + 1 < len(out_regions)
+            and out_regions[i + 1][0] == RT_TEXT
+            and out_regions[i + 1][1] == r[1]
+            and out_regions[i + 1][4]
+        ):
+            tgt = out_regions[i + 1]
+            dcs, _, dtext = r[4][0]
+            fcs, fce, ftext = tgt[4][0]
+            tgt[4][0] = (dcs, fce, dtext + ftext)
+            merged.append(tgt)
+            i += 2
+            continue
+        if r[0] == "dropcap":
+            r[0] = RT_DROPCAP
+        merged.append(r)
+        i += 1
+
+    # §9 small-fragment adherence
+    final_regions = []
+    for r in merged:
+        if r[0] != RT_TEXT:
+            final_regions.append(r)
+            continue
+        result = []
+        pending = []
+        for sp in r[4]:
+            if len(sp[2]) <= cfg.small_fragment_max_len:
+                if result:
+                    prev = result[-1]
+                    result[-1] = (prev[0], sp[1], prev[2] + " " + sp[2])
+                else:
+                    pending.append(sp)
+            else:
+                if pending:
+                    pre = " ".join(p[2] for p in pending)
+                    result.append((pending[0][0], sp[1], pre + " " + sp[2]))
+                    pending = []
+                else:
+                    result.append(sp)
+        if not result and pending:
+            result = pending
+        r[4] = result
+        if result:
+            final_regions.append(r)
+
+    # §10 emission
+    spans = []
+    for rs, r in enumerate(final_regions):
+        for cs, ce, s in r[4]:
+            spans.append((len(spans), r[0], rs, cs, ce, s))
+    return diag_or_spans(spans, len(final_regions), max_cols, slope, ratio, used_b)
+
+
+def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
+    """SPEC §6 gutters, numpy ink profile over the block."""
+    w = int(max(rlen[i] for i in lids))
+    if w == 0:
+        return []
+    profile = np.zeros(w, dtype=np.int64)
+    for i in lids:
+        a = np.frombuffer(raw[i].encode("utf-32-le"), dtype=np.uint32)
+        if len(a):
+            profile[: len(a)] += a != 32
+    zero = profile == 0
+    if not zero.any():
+        return []
+    # maximal zero runs
+    d = np.diff(np.concatenate(([0], zero.view(np.int8), [0])))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1) - 1
+    kept = []
+    for a, b in zip(starts, ends):
+        if b - a + 1 >= 2:
+            center = (a + b) // 2
+            if cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w:
+                kept.append((int(a), int(b)))
+    return kept[: cfg.max_columns - 1]

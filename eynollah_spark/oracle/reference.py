@@ -1,0 +1,395 @@
+"""Single-node golden oracle: naive, loop-based implementation of
+eynollah_spark/kernel/SPEC.md.
+
+This is the text-domain transposition of the reference pipeline
+(`/root/reference/qurator/eynollah/eynollah.py:2300-2567`), written as
+straightforward per-line Python so its correctness is auditable by
+reading. The Spark kernel (`eynollah_spark/kernel/textpage.py`) is an
+independent vectorized implementation of the same spec; the test suite
+asserts byte-exact agreement between the two.
+
+Never import this module from the Spark pipeline — it exists only to
+generate golden fixtures and to cross-check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from eynollah_spark.config import (
+    DEFAULT_CONFIG,
+    ExtractConfig,
+    FOOTER_PREFIXES,
+    RT_DROPCAP,
+    RT_HEADER,
+    RT_MARGINALIA,
+    RT_SEPARATOR,
+    RT_TEXT,
+    RT_TOOL,
+    SEP_CHARS,
+)
+
+
+@dataclass
+class Span:
+    span_idx: int
+    region_type: str
+    region_seq: int
+    char_start: int
+    char_end: int
+    text: str
+
+
+def _line_starts(lines: list[str]) -> list[int]:
+    starts, pos = [], 0
+    for ln in lines:
+        starts.append(pos)
+        pos += len(ln) + 1
+    return starts
+
+
+def _stripped_offsets(line: str, start: int) -> tuple[int, int, str]:
+    """(char_start, char_end, stripped) of line.strip() within the page."""
+    s = line.strip()
+    lead = len(line) - len(line.lstrip())
+    return start + lead, start + lead + len(s), s
+
+
+def _is_banner(s: str) -> bool:
+    return len(s) >= 6 and s.startswith("===") and s.endswith("===")
+
+
+def _is_footer(s: str) -> bool:
+    return any(s.startswith(p) for p in FOOTER_PREFIXES)
+
+
+def _is_header_rule(s: str) -> bool:
+    # ^#{1,6}\s  or  ^[A-Z][A-Z0-9_]{2,11}:
+    if not s:
+        return False
+    if s[0] == "#":
+        i = 0
+        while i < len(s) and s[i] == "#":
+            i += 1
+        return 1 <= i <= 6 and i < len(s) and s[i] == " "
+    if "A" <= s[0] <= "Z":
+        i = 1
+        while i < len(s) and ("A" <= s[i] <= "Z" or "0" <= s[i] <= "9" or s[i] == "_"):
+            i += 1
+        return 3 <= i <= 12 and i < len(s) and s[i] == ":"
+    return False
+
+
+def classify_line_naive(line: str, cfg: ExtractConfig) -> str:
+    """SPEC §4 model rules, first match wins (mirrors the class codes
+    asserted at eynollah.py:1269-1282)."""
+    s = line.strip()
+    if s == "":
+        return "blank"
+    if len(s) >= cfg.separator_min_len and all(c in SEP_CHARS for c in s):
+        return "separator"
+    if s.startswith("[note:") and s.endswith("]"):
+        return "marginalia"
+    if len(s) <= cfg.header_max_len and _is_header_rule(s):
+        return "header"
+    if len(s) == 1 and "A" <= s <= "Z":
+        return "dropcap"
+    return "text"
+
+
+def _binarize(line: str) -> str:
+    return "".join(ch for ch in line if ord(ch) < 128)
+
+
+@dataclass
+class _Region:
+    rtype: str
+    band: int
+    first_line: int
+    col_idx: int
+    spans: list[tuple[int, int, str]]  # (char_start, char_end, text)
+
+
+def _analyze(text: str, role: str, cfg: ExtractConfig):
+    """Returns (spans, diag) per SPEC. Naive implementation."""
+    lines = text.split("\n")
+    starts = _line_starts(lines)
+    n = len(lines)
+
+    diag = {
+        "n_lines": n,
+        "max_columns": 1,
+        "slope": 0.0,
+        "agreement_ratio": 100.0,
+        "used_binarized": False,
+    }
+
+    # §1 tool turns
+    if role == "tool":
+        spans: list[Span] = []
+        for i, ln in enumerate(lines):
+            if ln.strip() == "":
+                continue
+            cs, ce, s = _stripped_offsets(ln, starts[i])
+            spans.append(Span(len(spans), RT_TOOL, 0, cs, ce, s))
+        diag["n_spans"] = len(spans)
+        diag["n_regions"] = 1 if spans else 0
+        return spans, diag
+
+    # §2 border strip
+    lo, hi = 0, n  # page = lines[lo:hi]
+    for k in range(min(cfg.border_scan_lines, n)):
+        if _is_banner(lines[k].strip()):
+            lo = k + 1
+            break
+    for k in range(max(lo, n - cfg.border_scan_lines), n):
+        if _is_footer(lines[k].strip()):
+            hi = k
+            break
+
+    page_idx = list(range(lo, hi))
+
+    # §3 fences
+    fence_state = {}
+    in_fence = False
+    for i in page_idx:
+        s = lines[i].strip()
+        if s.startswith("```"):
+            fence_state[i] = "fence"
+            in_fence = not in_fence
+        elif in_fence:
+            fence_state[i] = "tool"
+
+    # §4 two-model classification + gate
+    classifiable = [i for i in page_idx if i not in fence_state]
+    cls_a = {i: classify_line_naive(lines[i], cfg) for i in classifiable}
+    cls_b = {i: classify_line_naive(_binarize(lines[i]), cfg) for i in classifiable}
+    if classifiable:
+        agree = sum(1 for i in classifiable if cls_a[i] == cls_b[i])
+        ratio = 100.0 * agree / len(classifiable)
+    else:
+        ratio = 100.0
+    used_b = ratio <= cfg.binarize_retry_threshold
+    cls = cls_b if used_b else cls_a
+    diag["agreement_ratio"] = ratio
+    diag["used_binarized"] = used_b
+
+    # full per-line class map for region/band scanning
+    def line_class(i: int) -> str:
+        if i in fence_state:
+            return fence_state[i]
+        return cls[i]
+
+    # §5 regions and bands
+    regions: list[_Region] = []
+    band = 0
+    blank_run = 0
+    cur: _Region | None = None
+
+    def close():
+        nonlocal cur
+        if cur is not None:
+            regions.append(cur)
+            cur = None
+
+    for i in page_idx:
+        c = line_class(i)
+        if c == "blank":
+            blank_run += 1
+            if blank_run == cfg.band_blank_gap:
+                band += 1
+            close()
+            continue
+        blank_run = 0
+        if c == "fence":
+            close()
+            continue
+        if c in ("text", "tool", "marginalia"):
+            rt = {"text": RT_TEXT, "tool": RT_TOOL, "marginalia": RT_MARGINALIA}[c]
+            if cur is not None and cur.rtype == rt:
+                cur.spans.append((i, -1, ""))  # line index placeholder
+            else:
+                close()
+                cur = _Region(rt, band, i, 0, [(i, -1, "")])
+        elif c == "header":
+            close()
+            regions.append(_Region(RT_HEADER, band, i, 0, [(i, -1, "")]))
+        elif c == "dropcap":
+            close()
+            regions.append(_Region("dropcap", band, i, 0, [(i, -1, "")]))
+        elif c == "separator":
+            close()
+            regions.append(_Region(RT_SEPARATOR, band, i, 0, [(i, -1, "")]))
+            band += 1
+    close()
+
+    # §6 column split on text blocks; materialize span content
+    out_regions: list[_Region] = []
+    slope_xs: list[int] = []
+    slope_ys: list[int] = []
+    for r in regions:
+        line_ids = [t[0] for t in r.spans]
+        if r.rtype == RT_TEXT:
+            block = [lines[i] for i in line_ids]
+            gutters = _find_gutters_naive(block, cfg) if len(block) >= cfg.min_block_lines else []
+            if gutters:
+                diag["max_columns"] = max(diag["max_columns"], len(gutters) + 1)
+                w = max(len(ln) for ln in block)
+                bounds = [0]
+                segs = []
+                for g0, g1 in gutters:
+                    segs.append((bounds[-1], g0))
+                    bounds.append(g1 + 1)
+                segs.append((bounds[-1], w))
+                for col, (a, b) in enumerate(segs):
+                    col_spans = []
+                    for i in line_ids:
+                        piece = lines[i][a:b]
+                        s = piece.strip()
+                        if not s:
+                            continue
+                        lead = len(piece) - len(piece.lstrip())
+                        cs = starts[i] + a + lead
+                        col_spans.append((cs, cs + len(s), s))
+                    if col_spans:
+                        out_regions.append(
+                            _Region(RT_TEXT, r.band, r.first_line, col, col_spans)
+                        )
+                continue
+            # single column: deskew diagnostics over block lines
+            for k, i in enumerate(line_ids):
+                slope_xs.append(k)
+                slope_ys.append(len(lines[i]) - len(lines[i].lstrip()))
+            spans = []
+            for i in line_ids:
+                cs, ce, s = _stripped_offsets(lines[i], starts[i])
+                if s:
+                    spans.append((cs, ce, s))
+            if spans:
+                out_regions.append(_Region(RT_TEXT, r.band, r.first_line, 0, spans))
+        else:
+            spans = []
+            for i in line_ids:
+                cs, ce, s = _stripped_offsets(lines[i], starts[i])
+                if s:
+                    spans.append((cs, ce, s))
+            if spans:
+                out_regions.append(_Region(r.rtype, r.band, r.first_line, 0, spans))
+
+    # slope: least-squares fit (cv2.fitLine analog, utils/__init__.py:331-332)
+    if len(slope_xs) >= 2:
+        mx = sum(slope_xs) / len(slope_xs)
+        my = sum(slope_ys) / len(slope_ys)
+        var = sum((x - mx) ** 2 for x in slope_xs)
+        if var > 0:
+            cov = sum((x - mx) * (y - my) for x, y in zip(slope_xs, slope_ys))
+            diag["slope"] = cov / var
+
+    # §7 reading order
+    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
+    out_regions.sort(key=lambda r: (r.band, tg[r.rtype], r.first_line, r.col_idx))
+
+    # §8 drop-capital merge
+    merged: list[_Region] = []
+    i = 0
+    while i < len(out_regions):
+        r = out_regions[i]
+        if (
+            r.rtype == "dropcap"
+            and i + 1 < len(out_regions)
+            and out_regions[i + 1].rtype == RT_TEXT
+            and out_regions[i + 1].band == r.band
+            and out_regions[i + 1].spans
+        ):
+            tgt = out_regions[i + 1]
+            dcs, _, dtext = r.spans[0]
+            fs = tgt.spans[0]
+            tgt.spans[0] = (dcs, fs[1], dtext + fs[2])
+            merged.append(tgt)
+            i += 2
+            continue
+        if r.rtype == "dropcap":
+            r.rtype = RT_DROPCAP
+        merged.append(r)
+        i += 1
+
+    # §9 small-fragment adherence (text regions only)
+    final_regions: list[_Region] = []
+    for r in merged:
+        if r.rtype != RT_TEXT:
+            final_regions.append(r)
+            continue
+        result: list[tuple[int, int, str]] = []
+        pending: list[tuple[int, int, str]] = []
+        for sp in r.spans:
+            if len(sp[2]) <= cfg.small_fragment_max_len:
+                if result:
+                    prev = result[-1]
+                    result[-1] = (prev[0], sp[1], prev[2] + " " + sp[2])
+                else:
+                    pending.append(sp)
+            else:
+                if pending:
+                    pre = " ".join(p[2] for p in pending)
+                    result.append((pending[0][0], sp[1], pre + " " + sp[2]))
+                    pending = []
+                else:
+                    result.append(sp)
+        if not result and pending:
+            result = pending
+        r.spans = result
+        if result:
+            final_regions.append(r)
+
+    # §10 emission
+    spans_out: list[Span] = []
+    for rs, r in enumerate(final_regions):
+        for cs, ce, s in r.spans:
+            spans_out.append(Span(len(spans_out), r.rtype, rs, cs, ce, s))
+    diag["n_spans"] = len(spans_out)
+    diag["n_regions"] = len(final_regions)
+    return spans_out, diag
+
+
+def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int, int]]:
+    """SPEC §6: maximal zero-ink runs of width >= 2 with center inside
+    [0.15W, 0.85W]; at most max_columns-1 leftmost kept."""
+    w = max(len(ln) for ln in block)
+    if w == 0:
+        return []
+    profile = [0] * w
+    for ln in block:
+        for p, ch in enumerate(ln):
+            if ch != " ":
+                profile[p] += 1
+    runs = []
+    p = 0
+    while p < w:
+        if profile[p] == 0:
+            q = p
+            while q + 1 < w and profile[q + 1] == 0:
+                q += 1
+            runs.append((p, q))
+            p = q + 1
+        else:
+            p += 1
+    kept = []
+    for a, b in runs:
+        if b - a + 1 >= 2:
+            center = (a + b) // 2
+            if cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w:
+                kept.append((a, b))
+    return kept[: cfg.max_columns - 1]
+
+
+def analyze_turn_naive(
+    text: str, role: str, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> list[Span]:
+    spans, _ = _analyze(text, role, cfg)
+    return spans
+
+
+def page_diag_naive(text: str, role: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    _, diag = _analyze(text, role, cfg)
+    diag["is_deskewed"] = abs(diag["slope"]) >= cfg.slope_threshold
+    return diag

@@ -1,0 +1,173 @@
+"""End-to-end Spark pipeline tests: golden-fixture equality against the
+single-node oracle (incl. window-derived ids), partition invariance,
+and distributed-generator parity (SURVEY.md §5 graft strategy 1/4)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from eynollah_spark.fixtures.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    CorpusSpec,
+    generate_local,
+    generate_spark,
+)
+from eynollah_spark.operators.extract import (
+    analyze_pages,
+    extract_spans,
+    extract_spans_salted,
+)
+from eynollah_spark.oracle.reference import analyze_turn_naive
+
+SPEC = CorpusSpec(n_convs=30, seed=21)
+
+
+def _golden(local_df: pd.DataFrame) -> pd.DataFrame:
+    """Oracle spans + single-node reimplementation of the id windows
+    (utils/counter.py semantics)."""
+    rows = []
+    for conv_id, grp in local_df.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id", sort=True
+    ):
+        order = 0
+        region_num = 0
+        last_region_key = None
+        line_num = 0
+        for row in grp.itertuples(index=False):
+            for s in analyze_turn_naive(row.text, row.role):
+                key = (row.turn_idx, s.region_seq)
+                if key != last_region_key:
+                    region_num += 1
+                    line_num = 0
+                    last_region_key = key
+                line_num += 1
+                rows.append(
+                    (
+                        conv_id,
+                        row.turn_idx,
+                        s.span_idx,
+                        s.region_type,
+                        s.region_seq,
+                        s.char_start,
+                        s.char_end,
+                        s.text,
+                        order,
+                        "region_%04d" % region_num,
+                        "region_%04d_line_%04d" % (region_num, line_num),
+                    )
+                )
+                order += 1
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "conv_id",
+            "turn_idx",
+            "span_idx",
+            "region_type",
+            "region_seq",
+            "char_start",
+            "char_end",
+            "text",
+            "reading_order",
+            "region_id",
+            "line_id",
+        ],
+    )
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+        .astype(
+            {
+                c: "int64"
+                for c in [
+                    "turn_idx",
+                    "span_idx",
+                    "region_seq",
+                    "char_start",
+                    "char_end",
+                    "reading_order",
+                ]
+            }
+        )
+    )
+
+
+def test_pipeline_matches_oracle(spark):
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    got = _normalize(extract_spans(turns).toPandas())
+    exp = _normalize(_golden(local))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_partition_invariance(spark):
+    """Same bytes out at any parallelism/salting (SURVEY §5 test 4)."""
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    base = _normalize(extract_spans(turns).toPandas())
+    for variant in [
+        extract_spans(turns.repartition(1)),
+        extract_spans(turns.repartition(13)),
+        extract_spans_salted(turns, salt_buckets=5),
+    ]:
+        pd.testing.assert_frame_equal(_normalize(variant.toPandas()), base)
+
+
+def test_distributed_generator_parity(spark):
+    local = generate_local(SPEC)
+    dist = (
+        generate_spark(spark, SPEC)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = local.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, exp, check_dtype=False)
+
+
+def test_per_turn_text_equality(spark):
+    """The literal north-rule invariant: per-turn extracted text equality
+    under stable turn ordering."""
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    got = (
+        extract_spans(turns)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list(F.struct("span_idx", "text"))).getField("text")
+            ).alias("extracted")
+        )
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])["extracted"]
+        .to_dict()
+    )
+    for row in local.itertuples(index=False):
+        exp = "\n".join(s.text for s in analyze_turn_naive(row.text, row.role))
+        assert got.get((row.conv_id, row.turn_idx), "") == exp
+
+
+def test_page_diags(spark):
+    local = generate_local(CorpusSpec(n_convs=10, seed=5))
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    diags = analyze_pages(turns).toPandas()
+    assert len(diags) == len(local)
+    assert (diags["agreement_ratio"] <= 100.0).all()
+    assert (diags["n_spans"] >= 0).all()
+
+
+def test_id_counter_semantics(spark):
+    """Reference tests/test_counter.py parity: ids are dense, 1-based,
+    region_%04d / region_%04d_line_%04d formatted."""
+    local = generate_local(CorpusSpec(n_convs=4, seed=2))
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    out = extract_spans(turns).toPandas()
+    for conv_id, grp in out.groupby("conv_id"):
+        grp = grp.sort_values("reading_order")
+        assert list(grp["reading_order"]) == list(range(len(grp)))
+        nums = grp["region_id"].str.extract(r"^region_(\d{4})$")[0].astype(int)
+        assert nums.iloc[0] == 1
+        assert set(nums.diff().dropna().unique()) <= {0, 1}
+        assert grp["line_id"].str.match(r"^region_\d{4}_line_\d{4}$").all()

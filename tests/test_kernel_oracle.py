@@ -1,0 +1,112 @@
+"""Byte-exact agreement between the vectorized kernel and the naive
+single-node oracle (the north-rule equality check, SPEC.md).
+
+Model of the reference's test granularity (tests/test_counter.py etc.)
+plus property-based fuzzing the reference lacks.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from eynollah_spark.config import DEFAULT_CONFIG
+from eynollah_spark.fixtures.transcripts import CorpusSpec, generate_local
+from eynollah_spark.kernel.textpage import (
+    LineModel,
+    analyze_turns_batch,
+    page_diags_batch,
+)
+from eynollah_spark.oracle.reference import analyze_turn_naive, page_diag_naive
+
+
+def _kernel_spans(texts_roles):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts_roles))],
+            "turn_idx": list(range(len(texts_roles))),
+            "role": [r for _, r in texts_roles],
+            "text": [t for t, _ in texts_roles],
+        }
+    )
+    out = analyze_turns_batch(pdf)
+    groups = {}
+    for t in out.itertuples(index=False):
+        groups.setdefault(int(t.turn_idx), []).append(
+            (
+                int(t.span_idx),
+                t.region_type,
+                int(t.region_seq),
+                int(t.char_start),
+                int(t.char_end),
+                t.text,
+            )
+        )
+    return [groups.get(i, []) for i in range(len(texts_roles))]
+
+
+def _oracle_spans(text, role):
+    return [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, role)
+    ]
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_corpus_agreement(seed):
+    df = generate_local(CorpusSpec(n_convs=40, seed=seed))
+    got = _kernel_spans(list(zip(df["text"], df["role"])))
+    for i, row in enumerate(df.itertuples(index=False)):
+        assert got[i] == _oracle_spans(row.text, row.role), (
+            row.conv_id,
+            row.turn_idx,
+            repr(row.text[:200]),
+        )
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_corpus_diag_agreement(seed):
+    df = generate_local(CorpusSpec(n_convs=25, seed=seed))
+    out = page_diags_batch(df[["conv_id", "turn_idx", "role", "text"]])
+    dg = {(r.conv_id, int(r.turn_idx)): r for r in out.itertuples(index=False)}
+    for row in df.itertuples(index=False):
+        e = page_diag_naive(row.text, row.role)
+        g = dg[(row.conv_id, row.turn_idx)]
+        assert e["n_lines"] == g.n_lines
+        assert e["n_spans"] == g.n_spans
+        assert e["n_regions"] == g.n_regions
+        assert e["max_columns"] == g.max_columns
+        assert abs(e["slope"] - g.slope) < 1e-12
+        assert e["is_deskewed"] == bool(g.is_deskewed)
+        assert abs(e["agreement_ratio"] - g.agreement_ratio) < 1e-9
+        assert e["used_binarized"] == bool(g.used_binarized)
+
+
+_token = st.sampled_from(
+    list("abcXYZ 019#*-=_[]:()`—–…©") + ["```", "[note:", "===", "(c)", "## "]
+)
+_line = st.lists(_token, min_size=0, max_size=12).map("".join)
+
+_text = st.lists(_line, min_size=0, max_size=14).map("\n".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_text, role=st.sampled_from(["user", "assistant", "system", "tool"]))
+def test_fuzz_agreement(text, role):
+    got = _kernel_spans([(text, role)])[0]
+    assert got == _oracle_spans(text, role), repr(text)
+
+
+def test_patch_stitching_equals_whole():
+    """do_prediction graft (eynollah.py:522-639): patched classification
+    with margin stitching must equal unpatched on long pages."""
+    df = generate_local(CorpusSpec(n_convs=6, seed=3))
+    big = "\n".join(df["text"].tolist())  # one very long page
+    model = LineModel(DEFAULT_CONFIG)
+    s = pd.Series(big.split("\n")).str.strip()
+    assert (model.classify_patched(s) == model.classify_stripped(s)).all()
+    assert len(s) > DEFAULT_CONFIG.patch_lines * 2
+
+
+def test_empty_and_degenerate():
+    for text in ["", "   \n \n  ", "\n\n\n", "```", "```\nx"]:
+        assert _kernel_spans([(text, "user")])[0] == _oracle_spans(text, "user")
