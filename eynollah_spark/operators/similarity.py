@@ -1,0 +1,214 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+Two paths, as the task brief requires:
+
+- **brute-force cosine top-k** — the exact baseline. One broadcast of
+  the (small) query set against the corpus; dot products computed with
+  `F.zip_with` + `F.aggregate`, entirely JVM-side, so the scan streams
+  through whole-stage codegen with no Python.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  bucket the corpus; each query probes only its bucket. Hyperplanes
+  are derived deterministically (md5 arithmetic) so any engine can
+  reproduce them.
+
+At 100 TB / billions of vectors: the brute-force path is a full scan
+per query batch (only acceptable for offline joins with many queries
+amortized per scan); the LSH path turns it into a bucket-pruned scan.
+IVF (k-means coarse quantizer) would be the next step — the bucketing
+code shape below is exactly where centroids would slot in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(pairs: DataFrame, col_a: str, col_b: str, out: str = "cosine") -> DataFrame:
+    a, b = F.col(col_a), F.col(col_b)
+    return pairs.withColumn(out, F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus
+    vector, window top-k per query. Ties broken by corpus id (total
+    order — partition-invariant results)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec"))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane(dim: int, plane_idx: int):
+    """Deterministic pseudo-random hyperplane component h[j] for plane
+    `plane_idx`: md5-derived value in [-0.5, 0.5). Engine-portable."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"plane{plane_idx}:"), j.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**8))
+            - 0.5
+        ),
+    )
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8):
+    """Signature bits = sign of dot(vec, plane_i); bucket id in
+    [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        d = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, hyperplane(dim, i))
+        bucket = bucket + F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: standard multi-table LSH. Each of `n_tables`
+    independent hash tables buckets the corpus by `n_planes` hyperplane
+    signs; a query probes its bucket in every table, candidates are
+    unioned (distinct), then exact-scored. Recall grows as
+    1-(1-p^planes)^tables; the test measures it against brute force.
+
+    Scale shape: corpus is written once per table (explode by table id),
+    the join shuffles on (table, bucket) — bucket sizes are ~N/2^planes
+    so the per-bucket work is bounded; no full cross product ever forms.
+    """
+    table_ids = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+
+    def with_buckets(df, idc, vecc, out_id, out_vec):
+        base = df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), table_ids
+        )
+        bucket = None
+        for i in range(n_planes):
+            # plane index namespaced by table: planes (tbl*n_planes + i)
+            d = _dot(
+                F.col(out_vec),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j, i=i: (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit("plane"),
+                                        (F.col("tbl") * n_planes + F.lit(i)).cast("string"),
+                                        F.lit(":"),
+                                        j.cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("double")
+                        / F.lit(float(16**8))
+                        - 0.5
+                    ),
+                ),
+            )
+            bit = F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return base.withColumn("bucket", bucket)
+
+    c = with_buckets(corpus, id_col, vec_col, "vec_id", "vec")
+    q = with_buckets(queries, id_col, vec_col, "query_id", "qvec")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
+    generated only within buckets, then cosine-verified."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.vec").alias("va"),
+        F.col("b.vec").alias("vb"),
+    )
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data curation.
+
+Language ID (stopword-lexicon heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+each expressed as pure Catalyst column expressions (no UDFs), so they
+run inside whole-stage codegen on the scan and oracle-check exactly
+against ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny per-language stopword lexicons (public knowledge). Deliberately
+# small: the operator is the scoring machinery, not the lexicon.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "para"),
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text_col) -> F.Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text_col) -> F.Column:
+    """Count of BPE-ish tokens via regexp extraction."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def _stopword_hits(text_col, words: tuple[str, ...]) -> F.Column:
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words])))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword hit counts + argmax language guess
+    ('und' = undetermined when no lexicon hits)."""
+    out = df
+    for lang, words in LANG_LEXICON.items():
+        out = out.withColumn(f"hits_{lang}", _stopword_hits(F.col(text_col), words))
+    best = None
+    best_hits = None
+    for lang in LANG_LEXICON:
+        h = F.col(f"hits_{lang}")
+        if best is None:
+            best, best_hits = F.lit(lang), h
+        else:
+            cond = h > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, h).otherwise(best_hits)
+    return out.withColumn(
+        "lang_guess", F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0,1] (heuristic quality gate of a training-data
+    pipeline; the thresholds are explicit columns, not magic)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_stop = _stopwords_any(t)
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+                + F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)) * 0.4
+                + (1.0 - F.least(n_punct / F.greatest(n_chars, F.lit(1)) * 4.0, F.lit(1.0))) * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def _stopwords_any(text_col) -> F.Column:
+    allwords = tuple(sorted({w for ws in LANG_LEXICON.values() for w in ws}))
+    return _stopword_hits(text_col, allwords)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprint: min md5-hash over k-word shingles
+    (winnowing-lite / MinHash with one permutation). Identical and
+    near-identical prefixe-heavy docs collide; engine-portable."""
+    from eynollah_spark.operators.dedup import _h64
+
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.withColumn(
+        "fingerprint",
+        F.array_min(F.transform(shingles, lambda s: _h64(s))),
+    )

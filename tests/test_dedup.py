@@ -1,0 +1,89 @@
+"""Dedup operator tests: planted duplicates must be found; clean corpus
+must stay clean; results partition-invariant."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from eynollah_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # plant: 2 exact dups, 2 near dups (one word changed / appended)
+    src = base.orderBy("doc_id").limit(4).collect()
+    extra = [
+        (10_001, src[0].text),  # exact dup of doc 0
+        (10_002, src[1].text),  # exact dup of doc 1
+        (10_003, src[2].text.replace(src[2].text.split()[0], "zzz", 1)),  # near dup
+        (10_004, src[3].text + " tail tail"),  # near dup
+    ]
+    return base.union(spark.createDataFrame(extra, ["doc_id", "text"]))
+
+
+def test_exact_duplicates(docs):
+    got = exact_duplicates(docs).orderBy("text_hash").collect()
+    groups = {tuple(r.doc_ids) for r in got}
+    assert (0, 10_001) in groups
+    assert (1, 10_002) in groups
+    assert len(groups) == 2
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = dedup_exact(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.filter(F.col("doc_id").isin(10_001, 10_002)).count() == 0
+    assert kept.filter(F.col("doc_id").isin(0, 1)).count() == 2
+
+
+def test_ngram_jaccard_finds_planted(docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert got.get((0, 10_001)) == 1.0  # exact dup
+    assert got.get((3, 10_004), 0) > 0.8  # appended tail -> high overlap
+    # the driver's corpus itself contains planted near-dups (~0.99);
+    # they must be found too
+    assert any(a < 500 and b < 500 and j > 0.9 for (a, b), j in got.items())
+    # but no low-similarity noise above threshold
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dups have identical signatures -> always collide
+    assert (0, 10_001) in pairs
+    assert (1, 10_002) in pairs
+    # high-jaccard corpus near-dups should mostly collide in >=1 band
+    assert any(a < 500 and b < 500 for a, b in pairs)
+
+
+def test_simhash_exact_dups_distance_zero(docs):
+    sig = simhash_signatures(docs)
+    s = {r.doc_id: r.simhash for r in sig.collect()}
+    assert s[0] == s[10_001]
+    assert s[1] == s[10_002]
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(docs, max_distance=10).collect()
+    }
+    assert pairs.get((0, 10_001)) == 0
+    assert pairs.get((1, 10_002)) == 0
+
+
+def test_partition_invariance(docs):
+    a = sorted(
+        map(tuple, ngram_jaccard_pairs(docs.repartition(1), threshold=0.5).collect())
+    )
+    b = sorted(
+        map(tuple, ngram_jaccard_pairs(docs.repartition(16), threshold=0.5).collect())
+    )
+    assert a == b

@@ -1,0 +1,67 @@
+"""Resume-from-checkpoint and metrics tests (SURVEY §5 graft strategy 5)."""
+
+import pandas as pd
+
+from eynollah_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA, CorpusSpec, generate_local
+from eynollah_spark.io.sinks import BucketedSpanSink, filter_pending_turns
+from eynollah_spark.metrics import ExtractMetrics, partition_metrics
+from eynollah_spark.operators.extract import extract_spans
+
+SPEC = CorpusSpec(n_convs=25, seed=31)
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["conv_id", "turn_idx", "span_idx"]).reset_index(drop=True)
+
+
+def test_resume_no_dupes_no_loss(spark, tmp_path):
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    spans = extract_spans(turns)
+    full = _sorted(spans.toPandas())
+
+    sink = BucketedSpanSink(str(tmp_path / "out"), n_buckets=8, run_tag="r1")
+    # "crash" after 3 buckets
+    first = sink.write(spans, buckets=[0, 1, 2])
+    assert first == [0, 1, 2]
+    assert sink.done_buckets() == {0, 1, 2}
+
+    # restart: only pending turns reach the kernel
+    pending = filter_pending_turns(turns, sink)
+    assert pending.count() < turns.count()
+    rest = sink.resume(extract_spans(pending))
+    assert set(rest) == {3, 4, 5, 6, 7}
+
+    got = _sorted(sink.read(spark).toPandas())
+    pd.testing.assert_frame_equal(got, full)
+
+    # idempotence: resuming a complete run writes nothing
+    assert sink.resume(spans) == []
+
+
+def test_accumulator_metrics(spark):
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    m = ExtractMetrics.create(spark)
+    out = extract_spans(turns, metrics=m)
+    n_spans = out.count()
+    snap = m.snapshot()
+    assert snap["turns_in"] == len(local)
+    assert snap["spans_emitted"] == n_spans
+    assert snap["bytes_parsed"] == int(local["text"].str.len().sum())
+
+
+def test_partition_metrics_table(spark):
+    local = generate_local(SPEC)
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    spans = extract_spans(turns)
+    pm = partition_metrics(spans, run_id="t1").toPandas()
+    assert pm["spans_emitted"].sum() == spans.count()
+    assert set(pm.columns) >= {
+        "run_id",
+        "partition_id",
+        "turns_out",
+        "spans_emitted",
+        "bytes_parsed",
+        "committed_at",
+    }

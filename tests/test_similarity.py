@@ -1,0 +1,72 @@
+"""Similarity-search tests: brute force is the ground truth; LSH is
+measured against it (recall) and must be a strict bucket-subset."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from eynollah_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk(emb):
+    queries = emb.orderBy("vec_id").limit(3)
+    got = brute_force_topk(emb, queries, k=5).collect()
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.vec_id != q for r in rows)
+        assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_lsh_finds_planted_neighbors(spark, emb):
+    """LSH recall on *structured* neighbors: plant 3 slightly-perturbed
+    copies of each query vector (cosine ~0.99+); multi-table LSH must
+    retrieve them. (The raw corpus is near-uniform random — top-1
+    cosine ~0.37 — where hyperplane LSH is information-theoretically
+    near chance, so recall is measured on the planted structure.)"""
+    queries = emb.orderBy("vec_id").limit(5)
+    qrows = queries.collect()
+    planted = []
+    for qi, r in enumerate(qrows):
+        for c in range(3):
+            vec = [v * (1.0 + 0.004 * ((c + j) % 3 - 1)) for j, v in enumerate(r.embedding)]
+            planted.append((50_000 + qi * 10 + c, vec, -1))
+    corpus = emb.union(spark.createDataFrame(planted, emb.schema))
+    exact = brute_force_topk(corpus, queries, k=3)
+    approx = lsh_topk(corpus, queries, dim=DIM, k=3, n_planes=6, n_tables=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # the exact top-3 for each query are its planted copies
+    assert all(v >= 50_000 for _, v in e)
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, (recall, sorted(e - a))
+    # every LSH hit must score identically to brute force on that pair
+    ec = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.vec_id) in ec:
+            assert abs(ec[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_near_dup_pairs_planted(spark, emb):
+    # plant an exact duplicate vector -> cosine 1.0 must be found
+    dup = emb.orderBy("vec_id").limit(1).withColumn("vec_id", F.lit(99_999))
+    corpus = emb.union(dup)
+    pairs = embedding_near_dup_pairs(corpus, dim=DIM, threshold=0.999)
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert got.get((0, 99_999)) == pytest.approx(1.0, abs=1e-6)

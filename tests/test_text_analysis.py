@@ -1,0 +1,72 @@
+"""Text-analysis operator tests (language ID, quality, tokens,
+fingerprint)."""
+
+import pyspark.sql.functions as F
+
+from eynollah_spark.operators.text_analysis import (
+    bpe_token_count,
+    fingerprint,
+    lang_scores,
+    quality_features,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "  a  b   c "), (4, "don't stop-me now!")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.tc, r.bc)
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("tc"),
+            bpe_token_count(F.col("text")).alias("bc"),
+        ).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[2] == (0, 0)
+    assert got[3][0] == 3
+    # don ' t stop - me now !
+    assert got[4] == (3, 8)
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la maison est pour les amis dans"),
+            (4, "xyzzy qwerty asdf"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang_guess for r in lang_scores(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_quality_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(docs)
+    pdf = q.toPandas()
+    assert ((pdf["quality_score"] >= 0) & (pdf["quality_score"] <= 1)).all()
+    assert ((pdf["punct_ratio"] >= 0) & (pdf["punct_ratio"] <= 1)).all()
+    assert (pdf["n_tokens"] >= 0).all()
+
+
+def test_fingerprint_detects_shared_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
