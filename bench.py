@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: extraction throughput (turns/sec) over the
+deterministic synthetic transcript corpus (BASELINE.json input_hint
+shape), scaled by sf, plus the relational/dedup/similarity operator
+suite over the driver testdata tables.
+
+Two-cluster-size scaling evidence (north_rule ">=0.8 efficiency from N
+to 4N executors"): run this twice —
+    SPARK_GRAFT_CPUS=8  python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+and compare throughput_turns_per_sec (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+
+    from eynollah_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="eynollah-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from eynollah_spark.fixtures.transcripts import CorpusSpec, generate_spark
+    from eynollah_spark.operators.extract import extract_spans
+
+    timings: dict[str, float] = {}
+
+    # --- extraction throughput over the synthetic transcript corpus ---
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(int(20000 * sf), 50))))
+    spec = CorpusSpec(n_convs=n_convs)
+    corpus = generate_spark(spark, spec, parallelism=cpus * 2).persist()
+    n_turns = corpus.count()  # materialize the corpus outside the timed region
+
+    t0 = time.perf_counter()
+    n_spans = extract_spans(corpus).count()
+    extract_s = time.perf_counter() - t0
+    timings["extract_spans"] = round(extract_s, 3)
+    corpus.unpersist()
+
+    # --- operator suite over the driver testdata ---
+    qs = entrymod.queries()
+    bench_queries = [
+        "pricing_summary",
+        "top_orders",
+        "region_revenue",
+        "customer_top_order",
+        "events_sessionize",
+        "events_minute_rollup",
+        "doc_region_runs",
+        "token_stats",
+        "quality_scores",
+        "dedup_exact",
+        "jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "embedding_topk",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (extraction + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extract_turns": n_turns,
+                "extract_spans": n_spans,
+                "throughput_turns_per_sec": round(n_turns / extract_s, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

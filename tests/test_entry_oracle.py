@@ -1,0 +1,98 @@
+"""Mirror of the driver's correctness gate: run every __spark_entry__
+query on Spark AND its DuckDB oracle on the same parquet, compare
+row multisets exactly (column-name-sorted, like the driver's
+order-insensitive value hash).
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_ORACLE_SF to test
+at sf0.01 exactly like the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, cols):
+    """Sort columns by name within each row, then sort rows — the
+    driver's order-insensitive comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                # canonicalize -0.0 and NaN; values are pre-rounded by
+                # the queries so exact compare is the contract
+                if math.isnan(v):
+                    v = "NaN"
+                elif v == 0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.sql(entrymod.oracle_sql()[name])
+    dcols = res.columns
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    sn = _normalize(srows, scols)
+    dn = _normalize(drows, dcols)
+    assert len(sn) == len(dn), f"{name}: row count {len(sn)} vs {len(dn)}"
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+
+
+def test_every_query_has_entry_or_rows_only(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only queries still run and produce a stable schema
+    for name in set(qs) - set(oracles):
+        df = qs[name](spark, SF_DIR)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns
+    assert len(rows) >= 0
