@@ -32,10 +32,20 @@ from eynollah_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
-from eynollah_spark.operators.extract import analyze_pages, extract_spans
+from eynollah_spark.operators.extract import (
+    analyze_pages,
+    extract_spans,
+    extract_spans_salted,
+)
+from eynollah_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_assets,
+)
 from eynollah_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    lsh_topk,
 )
 from eynollah_spark.operators.text_analysis import (
     LANG_LEXICON,
@@ -181,6 +191,80 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim=64, threshold=0.2, n_planes=4)
 
 
+def _q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+def _q_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthetic_assets(spark, n=64, seed=7)
+    feats = extract_features(assets, fake_decode=True)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthetic_assets(spark, n=64, seed=7)
+    frames = sample_frames(assets, every_ms=1000, fake_decode=True)
+    return frames.select(
+        "asset_id", "frame_idx", "ts_ms", F.length("frame").alias("frame_bytes")
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = lsh_topk(e, q, dim=64, k=TOPK_K, n_planes=5, n_tables=3)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _q_extract_spans_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_spans_salted(
+        transcripts_from_documents(spark, sf_dir), salt_buckets=8
+    )
+
+
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(transcripts_from_documents(spark, sf_dir))
 
@@ -201,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_with_lineitems": relational.priority_with_lineitems,
         "events_sessionize": relational.events_sessionize,
         "events_minute_rollup": relational.events_minute_rollup,
+        "parts_by_brand": _q_parts_by_brand,
+        "supplier_nation_balance": _q_supplier_nation_balance,
+        "events_json_extract": _q_events_json,
         # extraction-domain analogs with exact SQL oracles (SURVEY §2.8)
         "doc_line_classify": docpage.doc_line_classify,
         "doc_region_runs": docpage.doc_region_runs,
@@ -218,9 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_topk": _q_topk,
         "embedding_near_dup": _q_embedding_near_dup,  # rows-only (LSH recall)
+        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
+        # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
         # the eynollah graft itself — rows-only here; per-turn equality
         # is gated by the fixture pytest suite (tests/test_extract_e2e.py)
         "extract_spans": _q_extract_spans,
+        "extract_spans_salted": _q_extract_spans_salted,
         "page_diags": _q_page_diags,
     }
 
@@ -418,6 +510,28 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
+"""
+
+    sql["parts_by_brand"] = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price,
+       max(p_size) AS max_size,
+       count(DISTINCT p_type) AS n_types
+FROM part GROUP BY p_brand
+"""
+
+    sql["supplier_nation_balance"] = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_balance
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["events_json_extract"] = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k
+FROM events GROUP BY event_type
 """
 
     sql["doc_line_classify"] = f"""

@@ -60,6 +60,12 @@ class LineModel:
     weights are shipped once per executor, not per task closure.
     """
 
+    # how many neighboring lines influence one line's label. The rule
+    # head is per-line (0); a contextual model (e.g. a CNN over a line
+    # window) would set its receptive-field half-width here, and the
+    # patch harness guarantees margin >= context so stitching is exact.
+    context_window: int = 0
+
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
         self.cfg = cfg
 
@@ -103,6 +109,13 @@ class LineModel:
         n = len(stripped)
         step = cfg.patch_lines - 2 * cfg.patch_margin
         if n <= cfg.patch_lines or step <= 0:
+            return self.classify_stripped(stripped)
+        if self.context_window == 0:
+            # per-line model: interior-stitched patch output is exactly
+            # the whole-array prediction (margin writes are identity),
+            # so run the vectorized head once instead of per patch.
+            # The patch loop below stays live for contextual models and
+            # is equivalence-tested in tests/test_kernel_oracle.py.
             return self.classify_stripped(stripped)
         out = np.empty(n, dtype=np.int8)
         start = 0
@@ -209,13 +222,14 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     diag_rows = []
     offsets = np.zeros(len(n_per) + 1, dtype=np.int64)
     np.cumsum(n_per, out=offsets[1:])
+    lines_np = lines.to_numpy()
+    stripped_np = stripped.to_numpy()
 
     for t in range(len(pdf)):
         o, e = offsets[t], offsets[t + 1]
-        t_lines = lines.iloc[o:e]
         res = _assemble_page(
-            t_lines.to_numpy(),
-            stripped.iloc[o:e].to_numpy(),
+            lines_np[o:e],
+            stripped_np[o:e],
             line_start[o:e],
             lstr_len[o:e],
             s_len[o:e],
