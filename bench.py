@@ -38,6 +38,13 @@ def main() -> None:
         app_name="eynollah-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_conf={
+            # local corpora are tiny; shrink splits so scans parallelize
+            # across all cores (production defaults are right at scale)
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(32768),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

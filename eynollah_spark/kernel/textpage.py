@@ -213,9 +213,24 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     is_fence_marker = stripped.str.startswith("```", na=False).to_numpy()
 
     cls_a = model.classify_patched(stripped)
-    # model B: binarized retry input (eynollah.py:1230-1266)
-    bin_stripped = lines.str.replace(_NONASCII_RE, "", regex=True).str.strip()
-    cls_b = model.classify_patched(bin_stripped)
+    # model B: binarized retry input (eynollah.py:1230-1266).
+    # Binarization only alters lines that contain non-ASCII bytes, so
+    # the second model pass runs on exactly those lines; the rest
+    # reuse cls_a (identical input => identical per-line labels).
+    if model.context_window == 0:
+        cls_b = cls_a.copy()
+        has_nonascii = lines.str.contains(_NONASCII_RE, regex=True, na=False).to_numpy()
+        if has_nonascii.any():
+            bin_sub = (
+                lines[has_nonascii]
+                .str.replace(_NONASCII_RE, "", regex=True)
+                .str.strip()
+                .reset_index(drop=True)
+            )
+            cls_b[has_nonascii] = model.classify_patched(bin_sub)
+    else:
+        bin_stripped = lines.str.replace(_NONASCII_RE, "", regex=True).str.strip()
+        cls_b = model.classify_patched(bin_stripped)
 
     # --- per-turn assembly ---
     span_rows = []

@@ -169,9 +169,41 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(df, text_col, k, threshold)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # exact-Jaccard verification restricted to the candidate pairs:
+    # the shingle self-join runs only over docs that appear in some
+    # candidate (semi-joined), so verification cost scales with LSH
+    # bucket collisions, never with corpus^2. Candidate pair sets are
+    # small by construction -> broadcast both the pair list and sizes.
+    sh = word_shingles(df, text_col, k)
+    docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = sh.join(F.broadcast(docs_a), "doc_id")
+    sh_b = sh.join(F.broadcast(docs_b), "doc_id")
+    inter = (
+        sh_a.alias("a")
+        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            sh_b.alias("b"),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -185,10 +217,18 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) ->
     toks = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
-    th = toks.select("doc_id", _h64(F.col("tok")).alias("h"))
+    # pre-aggregate term frequencies so the 64-way vote aggregation
+    # sees one row per (doc, term) instead of one per occurrence —
+    # identical votes (each occurrence votes), fraction of the input.
+    th = (
+        toks.groupBy("doc_id", _h64(F.col("tok")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]

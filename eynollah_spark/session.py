@@ -25,7 +25,7 @@ def get_spark(
         .master(master)
         # Arrow everywhere a Python boundary exists
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # AQE: post-shuffle coalescing + skew-join splitting at scale
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
