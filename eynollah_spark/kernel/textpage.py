@@ -232,31 +232,151 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         bin_stripped = lines.str.replace(_NONASCII_RE, "", regex=True).str.strip()
         cls_b = model.classify_patched(bin_stripped)
 
-    # --- per-turn assembly ---
+    # --- batch-wide page assembly (segmented numpy; SPEC §§1-5) ---
+    # Pages average ~13 lines, so per-page Python/numpy dispatch
+    # dominates when run page-at-a-time; instead every per-LINE pass
+    # (border trim, fence toggles, agreement gate, band splits, region
+    # runs) runs once over the flattened batch with per-page resets,
+    # and Python touches only per-REGION lists (~spans/3 items).
     span_rows = []
     diag_rows = []
-    offsets = np.zeros(len(n_per) + 1, dtype=np.int64)
+    P = len(pdf)
+    n = len(lines)
+    offsets = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(n_per, out=offsets[1:])
     lines_np = lines.to_numpy()
     stripped_np = stripped.to_numpy()
+    firsts = offsets[:-1]
+    tool_page = roles == "tool"
 
-    for t in range(len(pdf)):
-        o, e = offsets[t], offsets[t + 1]
-        res = _assemble_page(
-            lines_np[o:e],
-            stripped_np[o:e],
-            line_start[o:e],
-            lstr_len[o:e],
-            s_len[o:e],
-            raw_len[o:e],
-            is_banner[o:e],
-            is_footer[o:e],
-            is_fence_marker[o:e],
-            cls_a[o:e],
-            cls_b[o:e],
-            roles[t],
+    page = np.repeat(np.arange(P, dtype=np.int64), n_per)
+    rel = np.arange(n, dtype=np.int64) - np.repeat(firsts, n_per)
+
+    # §2 border strip: first banner in the leading scan window sets lo,
+    # first footer in the trailing window sets hi (<= 3 gathers each)
+    lo = np.zeros(P, dtype=np.int64)
+    found = np.zeros(P, dtype=bool)
+    for k in range(cfg.border_scan_lines):
+        valid = (k < n_per) & ~found & ~tool_page
+        idx = np.minimum(firsts + k, max(n - 1, 0))
+        hit = valid & (is_banner[idx] if n else False)
+        lo[hit] = k + 1
+        found |= hit
+    hi = n_per.astype(np.int64).copy()
+    foundf = np.zeros(P, dtype=bool)
+    fstart = np.maximum(lo, n_per - cfg.border_scan_lines)
+    for k in range(cfg.border_scan_lines):
+        pos = fstart + k
+        valid = (pos < n_per) & ~foundf & ~tool_page
+        idx = np.minimum(firsts + pos, max(n - 1, 0))
+        hit = valid & (is_footer[idx] if n else False)
+        hi[hit] = pos[hit]
+        foundf |= hit
+
+    active = ~tool_page[page] & (rel >= lo[page]) & (rel < hi[page])
+
+    # §3 fence toggle: per-page exclusive prefix parity of fence marks
+    fm = is_fence_marker & active
+    excl_f = np.cumsum(fm) - fm
+    base_f = np.zeros(P, dtype=np.int64)
+    nz = n_per > 0
+    base_f[nz] = excl_f[firsts[nz]]
+    in_fence_before = ((excl_f - base_f[page]) % 2).astype(bool)
+
+    # §4 agreement gate per page
+    classifiable = active & ~fm & ~in_fence_before
+    n_cl = np.bincount(page[classifiable], minlength=P)
+    agree = np.bincount(page[classifiable & (cls_a == cls_b)], minlength=P)
+    ratio = np.where(n_cl > 0, 100.0 * agree / np.maximum(n_cl, 1), 100.0)
+    used_b = ratio <= cfg.binarize_retry_threshold
+    cls = np.where(used_b[page], cls_b, cls_a).astype(np.int8)
+    cls[active & in_fence_before & ~fm] = C_TOOL
+    cls[fm] = C_FENCE
+
+    # §5a bands: the gap-th consecutive blank and every separator line
+    # advance the band counter for LATER lines (exclusive prefix)
+    blank = active & (cls == C_BLANK)
+    idx_arr = np.arange(n, dtype=np.int64)
+    barrier = np.where(~blank, idx_arr, -1)
+    if n:
+        fz = firsts[nz]
+        barrier[fz] = np.where(blank[fz], fz - 1, barrier[fz])
+    run_len = idx_arr - np.maximum.accumulate(barrier)
+    band_event = (blank & (run_len == cfg.band_blank_gap)) | (
+        active & (cls == C_SEP)
+    )
+    excl_b = np.cumsum(band_event) - band_event
+    base_b = np.zeros(P, dtype=np.int64)
+    base_b[nz] = excl_b[firsts[nz]]
+    band = excl_b - base_b[page]
+
+    # §5b region runs: maximal adjacent same-label runs of region lines;
+    # header/dropcap/separator lines are singleton regions
+    regline = active & (cls != C_BLANK) & (cls != C_FENCE)
+    singleton = regline & (
+        (cls == C_HEADER) | (cls == C_DROPCAP) | (cls == C_SEP)
+    )
+    prev_ok = np.zeros(n, dtype=bool)
+    if n > 1:
+        prev_ok[1:] = (
+            (page[1:] == page[:-1])
+            & regline[:-1]
+            & ~singleton[:-1]
+            & ~singleton[1:]
+            & (cls[1:] == cls[:-1])
+        )
+    new_region = regline & ~prev_ok
+    starts = np.flatnonzero(new_region)
+    if len(starts):
+        rid = np.cumsum(new_region) - 1
+        counts = np.bincount(rid[regline], minlength=len(starts))
+    else:
+        counts = np.zeros(0, dtype=np.int64)
+    r_lo = np.searchsorted(starts, offsets[:-1])
+    r_hi = np.searchsorted(starts, offsets[1:])
+    ink = build_ink_matrix(lines_np, raw_len)
+
+    for t in range(P):
+        if tool_page[t]:
+            spans = []
+            for i in range(offsets[t], offsets[t + 1]):
+                if s_len[i] > 0:
+                    cs = int(line_start[i] + lstr_len[i])
+                    spans.append(
+                        (len(spans), RT_TOOL, 0, cs, cs + int(s_len[i]), stripped_np[i])
+                    )
+            if want_diag:
+                diag_rows.append(
+                    (int(n_per[t]), len(spans), 1 if spans else 0, 1, 0.0, False, 100.0, False)
+                )
+            else:
+                for row in spans:
+                    span_rows.append((t,) + row)
+            continue
+        regions = [
+            [
+                _CODE_RT[cls[starts[r]]],
+                int(band[starts[r]]),
+                int(starts[r]),
+                0,
+                range(int(starts[r]), int(starts[r] + counts[r])),
+            ]
+            for r in range(r_lo[t], r_hi[t])
+        ]
+        res = _emit_page(
+            regions,
+            int(n_per[t]),
+            float(ratio[t]),
+            bool(used_b[t]),
+            lines_np,
+            stripped_np,
+            line_start,
+            lstr_len,
+            s_len,
+            raw_len,
             cfg,
             want_diag,
+            ink,
         )
         if want_diag:
             diag_rows.append(res)
@@ -294,109 +414,34 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     return out.drop(columns=["_t"])
 
 
-def _assemble_page(
-    raw, strp, lstart, lead, slen, rlen,
-    banner, footer, fence_marker, cls_a, cls_b,
-    role, cfg: ExtractConfig, want_diag: bool,
-):
-    """Region assembly for one page. Arrays are per-line, precomputed
-    vectorized. Returns span tuples (span_idx, region_type, region_seq,
-    char_start, char_end, text) or a diag tuple."""
-    n = len(raw)
+# region-type string for each line class that can open a region
+_CODE_RT = {
+    C_TEXT: RT_TEXT,
+    C_TOOL: RT_TOOL,
+    C_MARG: RT_MARGINALIA,
+    C_HEADER: RT_HEADER,
+    C_DROPCAP: "dropcap",
+    C_SEP: RT_SEPARATOR,
+}
 
-    def diag_or_spans(spans, regions, max_cols, slope, ratio, used_b):
+
+def _emit_page(
+    regions, n, ratio, used_b,
+    raw, strp, lstart, lead, slen, rlen,
+    cfg: ExtractConfig, want_diag: bool, ink=None,
+):
+    """SPEC §§6-10 for one page: column split, span materialization,
+    reading order, drop-capital merge, small-fragment adherence,
+    emission. ``regions`` is [[rtype, band, first_line, col, lids]] with
+    batch-global line indices into the per-line feature arrays."""
+
+    def diag_or_spans(spans, n_regions, max_cols, slope):
         if want_diag:
             return (
-                n, len(spans), regions, max_cols, slope,
+                n, len(spans), n_regions, max_cols, slope,
                 bool(abs(slope) >= cfg.slope_threshold), ratio, used_b,
             )
         return spans
-
-    # §1 tool turns
-    if role == "tool":
-        spans = []
-        for i in range(n):
-            if slen[i] > 0:
-                cs = int(lstart[i] + lead[i])
-                spans.append((len(spans), RT_TOOL, 0, cs, cs + int(slen[i]), strp[i]))
-        return diag_or_spans(spans, 1 if spans else 0, 1, 0.0, 100.0, False)
-
-    # §2 border strip
-    lo, hi = 0, n
-    for k in range(min(cfg.border_scan_lines, n)):
-        if banner[k]:
-            lo = k + 1
-            break
-    for k in range(max(lo, n - cfg.border_scan_lines), n):
-        if footer[k]:
-            hi = k
-            break
-
-    # §3 fences (cumulative toggle)
-    fm = fence_marker[lo:hi]
-    in_fence_after = np.cumsum(fm) % 2 == 1
-    in_fence_before = np.concatenate(([False], in_fence_after[:-1]))
-
-    # §4 agreement gate
-    classifiable = ~fm & ~in_fence_before
-    n_cl = int(classifiable.sum())
-    if n_cl:
-        agree = int((cls_a[lo:hi][classifiable] == cls_b[lo:hi][classifiable]).sum())
-        ratio = 100.0 * agree / n_cl
-    else:
-        ratio = 100.0
-    used_b = ratio <= cfg.binarize_retry_threshold
-    cls = (cls_b if used_b else cls_a)[lo:hi].copy()
-    cls[in_fence_before & ~fm] = C_TOOL
-    cls[fm] = C_FENCE
-
-    # §5 regions + bands (state machine over <= a few hundred labels)
-    regions = []  # (rtype, band, first_line, col_idx, line_indices)
-    band = 0
-    blank_run = 0
-    cur_type = None
-    cur_lines: list[int] = []
-    cur_first = -1
-    cur_band = 0
-    RUNTYPES = {C_TEXT: RT_TEXT, C_TOOL: RT_TOOL, C_MARG: RT_MARGINALIA}
-
-    def close():
-        nonlocal cur_type, cur_lines
-        if cur_type is not None:
-            regions.append([cur_type, cur_band, cur_first, 0, cur_lines])
-            cur_type, cur_lines = None, []
-
-    for j in range(hi - lo):
-        i = lo + j
-        c = cls[j]
-        if c == C_BLANK:
-            blank_run += 1
-            if blank_run == cfg.band_blank_gap:
-                band += 1
-            close()
-            continue
-        blank_run = 0
-        if c == C_FENCE:
-            close()
-            continue
-        if c in RUNTYPES:
-            rt = RUNTYPES[c]
-            if cur_type == rt:
-                cur_lines.append(i)
-            else:
-                close()
-                cur_type, cur_first, cur_band, cur_lines = rt, i, band, [i]
-        elif c == C_HEADER:
-            close()
-            regions.append([RT_HEADER, band, i, 0, [i]])
-        elif c == C_DROPCAP:
-            close()
-            regions.append(["dropcap", band, i, 0, [i]])
-        elif c == C_SEP:
-            close()
-            regions.append([RT_SEPARATOR, band, i, 0, [i]])
-            band += 1
-    close()
 
     # §6 column split + span materialization
     out_regions = []  # (rtype, band, first_line, col_idx, [(cs, ce, text)])
@@ -411,7 +456,7 @@ def _assemble_page(
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
             gutters = (
-                _find_gutters(raw, rlen, lids, cfg)
+                _find_gutters(raw, rlen, lids, cfg, ink)
                 if len(lids) >= cfg.min_block_lines
                 else []
             )
@@ -517,19 +562,43 @@ def _assemble_page(
     for rs, r in enumerate(final_regions):
         for cs, ce, s in r[4]:
             spans.append((len(spans), r[0], rs, cs, ce, s))
-    return diag_or_spans(spans, len(final_regions), max_cols, slope, ratio, used_b)
+    return diag_or_spans(spans, len(final_regions), max_cols, slope)
 
 
-def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
+def build_ink_matrix(lines_np: np.ndarray, rlen: np.ndarray):
+    """Batch-wide is-ink (non-space, in-bounds) char grid.
+
+    numpy's fixed-width unicode dtype IS a UTF-32 grid, so one astype
+    pass + a uint32 view yields per-char codes for every line at once
+    (0-padded past each line's end). Falls back to None for extreme
+    widths; callers then use the per-line path.
+    """
+    if len(lines_np) == 0:
+        return None
+    w = int(rlen.max()) if len(rlen) else 0
+    if w == 0 or len(lines_np) * w > 200_000_000:
+        return None
+    grid = lines_np.astype(f"U{w}").view(np.uint32).reshape(len(lines_np), w)
+    return (grid != 32) & (grid != 0)
+
+
+def _find_gutters(raw, rlen, lids, cfg: ExtractConfig, ink=None):
     """SPEC §6 gutters, numpy ink profile over the block."""
     w = int(max(rlen[i] for i in lids))
     if w == 0:
         return []
-    profile = np.zeros(w, dtype=np.int64)
-    for i in lids:
-        a = np.frombuffer(raw[i].encode("utf-32-le"), dtype=np.uint32)
-        if len(a):
-            profile[: len(a)] += a != 32
+    if ink is not None:
+        profile = ink[np.asarray(lids, dtype=np.int64), :w].sum(axis=0)
+    else:
+        profile = np.zeros(w, dtype=np.int64)
+        for i in lids:
+            s = raw[i]
+            if s.isascii():
+                a = np.frombuffer(s.encode(), dtype=np.uint8)
+            else:
+                a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            if len(a):
+                profile[: len(a)] += a != 32
     zero = profile == 0
     if not zero.any():
         return []
