@@ -55,7 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- extraction throughput over the synthetic transcript corpus ---
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(int(20000 * sf), 50))))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(int(200000 * sf), 50))))
     spec = CorpusSpec(n_convs=n_convs)
     corpus = generate_spark(spark, spec, parallelism=cpus * 2).persist()
     n_turns = corpus.count()  # materialize the corpus outside the timed region
