@@ -259,6 +259,35 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: file-source stream over events ->
+    watermarked 1-minute tumbling windows -> memory sink (complete
+    mode), driven to completion with availableNow. At rest this equals
+    the batch aggregation, so it carries a real SQL oracle."""
+    import shutil
+    import tempfile
+
+    from eynollah_spark.streaming import stream_events, stream_minute_rollup
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    agg = stream_minute_rollup(stream_events(spark, d))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("entry_stream_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("entry_stream_rollup").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_extract_spans_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_salted(
         transcripts_from_documents(spark, sf_dir), salt_buckets=8
@@ -285,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_with_lineitems": relational.priority_with_lineitems,
         "events_sessionize": relational.events_sessionize,
         "events_minute_rollup": relational.events_minute_rollup,
+        "streaming_minute_rollup": _q_streaming_minute_rollup,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_nation_balance": _q_supplier_nation_balance,
         "events_json_extract": _q_events_json,
@@ -532,6 +562,13 @@ SELECT event_type, count(*) AS n_events,
        max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
        min(CAST(json_extract(props, '$.k') AS INT)) AS min_k
 FROM events GROUP BY event_type
+"""
+
+    sql["streaming_minute_rollup"] = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
     sql["doc_line_classify"] = f"""

@@ -1,0 +1,13 @@
+from eynollah_spark.streaming.jobs import (
+    stream_events,
+    stream_minute_rollup,
+    stream_sessionize,
+    stream_extract_spans,
+)
+
+__all__ = [
+    "stream_events",
+    "stream_minute_rollup",
+    "stream_sessionize",
+    "stream_extract_spans",
+]

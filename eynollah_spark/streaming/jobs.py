@@ -1,0 +1,184 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (one page per ``run()``,
+eynollah.py:2300-2567) and the north rule's "resumable from
+checkpoint" maps to batch manifests, so streaming is an *extension*
+surface of this engine, not a parity requirement: the event table is
+stream-shaped (event_id, ts, user_id, event_type, value, props) and a
+training-data pipeline ingests continuously, so the three canonical
+streaming shapes are provided:
+
+- watermarked event-time window aggregation (late data bounded)
+- custom stateful sessionization via ``applyInPandasWithState`` —
+  the streaming twin of the batch lag/cumsum sessionizer in
+  operators/relational.py (same 30-min gap rule)
+- streaming extraction: the SAME batch kernel applied per micro-batch
+  through ``foreachBatch`` (kernel is stateless per turn, the
+  ordering windows run within each micro-batch's conversations) —
+  checkpointed, exactly-once per sink commit.
+
+All sources are file streams (parquet dirs), so tests drive them with
+``Trigger.AvailableNow`` against the driver testdata with no external
+services.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_S = 1800
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+
+
+def stream_minute_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation: late rows
+    beyond the watermark are dropped deterministically; state is
+    bounded by (window span x types)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", IntegerType()),
+        StructField("n_events", IntegerType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("session_seq", IntegerType()),
+        StructField("n_events", IntegerType()),
+        StructField("value_sum", DoubleType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer: closes a session when the gap to
+    the next event exceeds SESSION_GAP_S, or on state timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        seq, n, vs, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "session_seq": [seq], "n_events": [n],
+             "session_value": [round(vs, 6)]}
+        )
+        return
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    seq, n, vs, last = state.get if state.exists else (0, 0, 0.0, None)
+    out = {"user_id": [], "session_seq": [], "n_events": [], "session_value": []}
+    for ts, val in zip(rows["ts"], rows["value"]):
+        t = int(ts.timestamp())
+        if last is not None and t - last > SESSION_GAP_S:
+            out["user_id"].append(user_id)
+            out["session_seq"].append(seq)
+            out["n_events"].append(n)
+            out["session_value"].append(round(vs, 6))
+            seq, n, vs = seq + 1, 0, 0.0
+        elif last is None:
+            pass  # first ever event opens session 0 implicitly
+        n += 1
+        vs += float(val)
+        last = t
+    state.update((seq, n, vs, last))
+    state.setTimeoutDuration(SESSION_GAP_S * 1000)
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming gap-sessionization with per-key state + processing
+    timeout — emits each session when its gap closes it."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_extract_spans(
+    spark: SparkSession,
+    transcripts_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+):
+    """Streaming extraction: file-source transcript stream ->
+    foreachBatch(full batch pipeline) -> parquet, with a streaming
+    checkpoint. The kernel is per-turn stateless and the ordering
+    windows run per micro-batch, so a conversation split across
+    micro-batches keeps per-turn spans correct (reading_order is then
+    per-batch; continuous global order is the batch job's domain —
+    streaming here is the ingest/triage surface)."""
+    from eynollah_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA
+    from eynollah_spark.operators.extract import extract_spans
+
+    src = (
+        spark.readStream.schema(schema or TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(transcripts_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extract_spans(batch_df).write.mode("append").parquet(out_dir)
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
