@@ -288,6 +288,17 @@ def _q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.similarity import ivf_topk
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = ivf_topk(e, q, k=TOPK_K, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _q_extract_spans_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_salted(
         transcripts_from_documents(spark, sf_dir), salt_buckets=8
@@ -314,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_with_lineitems": relational.priority_with_lineitems,
         "events_sessionize": relational.events_sessionize,
         "events_minute_rollup": relational.events_minute_rollup,
+        "activity_bands": relational.activity_bands,
+        "session_containment": relational.session_containment,
         "streaming_minute_rollup": _q_streaming_minute_rollup,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_nation_balance": _q_supplier_nation_balance,
@@ -336,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_topk,
         "embedding_near_dup": _q_embedding_near_dup,  # rows-only (LSH recall)
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
+        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate by design)
         # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
@@ -562,6 +576,82 @@ SELECT event_type, count(*) AS n_events,
        max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
        min(CAST(json_extract(props, '$.k') AS INT)) AS min_k
 FROM events GROUP BY event_type
+"""
+
+    sql["activity_bands"] = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL {relational.SESSION_GAP_S} SECOND
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+),
+sess AS (
+  SELECT date_trunc('second', min(ts)) AS st, date_trunc('second', max(ts)) AS en
+  FROM s GROUP BY user_id, session_seq
+),
+swept AS (
+  SELECT st, en,
+         max(en) OVER (ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM sess
+),
+b AS (
+  SELECT st, en,
+         CAST(sum(CASE WHEN prev_max_e IS NULL OR st > prev_max_e THEN 1 ELSE 0 END)
+              OVER (ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS band_id
+  FROM swept
+)
+SELECT band_id,
+       strftime(min(st), '%Y-%m-%d %H:%M:%S') AS band_start,
+       strftime(max(en), '%Y-%m-%d %H:%M:%S') AS band_end,
+       count(*) AS n_sessions
+FROM b GROUP BY band_id
+"""
+
+    sql["session_containment"] = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL {relational.SESSION_GAP_S} SECOND
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_seq,
+         date_trunc('second', min(ts)) AS st, date_trunc('second', max(ts)) AS en
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT a.user_id, a.session_seq,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM sess b
+         WHERE b.st <= a.st AND a.en <= b.en
+           AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+       ) THEN 1 ELSE 0 END AS has_mother,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM sess c
+         WHERE a.st <= c.st AND c.en <= a.en
+           AND (a.user_id <> c.user_id OR a.session_seq <> c.session_seq)
+       ) THEN 1 ELSE 0 END AS has_child
+FROM sess a
 """
 
     sql["streaming_minute_rollup"] = """

@@ -219,6 +219,93 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J5 analog: interval fusion — intervals whose ranges interleave are
+# unioned into one band (add_tables_heuristic_to_layout,
+# eynollah.py:1783-1817: tables + horizontal lines fused by y-range).
+# Here: per-user sessions fused across users into global activity
+# bands via the sweep pattern (running max of interval ends).
+# ---------------------------------------------------------------------------
+def activity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = events_sessionize(spark, sf_dir).select(
+        F.to_timestamp("session_start").alias("s"),
+        F.to_timestamp("session_end").alias("e"),
+    )
+    w = Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, -1)
+    swept = sessions.withColumn("prev_max_e", F.max("e").over(w))
+    grouped = swept.withColumn(
+        "new_band",
+        F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0),
+    ).withColumn(
+        "band_id",
+        F.sum("new_band").over(
+            Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return grouped.groupBy("band_id").agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd HH:mm:ss").alias("band_start"),
+        F.date_format(F.max("e"), "yyyy-MM-dd HH:mm:ss").alias("band_end"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 analog: mother/child set-inclusion self-join
+# (return_x_start_end_mothers_childs_and_type_of_reading_order,
+# utils/__init__.py:213-297: separator column-ranges contained in other
+# ranges get has_mother/has_child flags that drive reading-order type).
+# Here: session time-intervals across users; a session strictly inside
+# another user's session has a mother, the outer one has a child.
+# ---------------------------------------------------------------------------
+def session_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = events_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        F.to_timestamp("session_start").alias("s"),
+        F.to_timestamp("session_end").alias("e"),
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    contained = (
+        a.join(
+            b,
+            (F.col("b.s") <= F.col("a.s"))
+            & (F.col("a.e") <= F.col("b.e"))
+            & (
+                (F.col("a.user_id") != F.col("b.user_id"))
+                | (F.col("a.session_seq") != F.col("b.session_seq"))
+            ),
+            "inner",
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.session_seq").alias("session_seq"),
+            F.col("b.user_id").alias("m_user"),
+            F.col("b.session_seq").alias("m_seq"),
+        )
+        .distinct()
+    )
+    mothers = contained.select("user_id", "session_seq").distinct().withColumn(
+        "has_mother", F.lit(1)
+    )
+    children = (
+        contained.select(
+            F.col("m_user").alias("user_id"), F.col("m_seq").alias("session_seq")
+        )
+        .distinct()
+        .withColumn("has_child", F.lit(1))
+    )
+    return (
+        sess.join(mothers, ["user_id", "session_seq"], "left")
+        .join(children, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            F.coalesce("has_mother", F.lit(0)).alias("has_mother"),
+            F.coalesce("has_child", F.lit(0)).alias("has_child"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1/A2 analog: time-bucket projection profile (per-minute rollup)
 # ---------------------------------------------------------------------------
 def events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

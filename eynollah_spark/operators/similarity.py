@@ -212,3 +212,90 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Assign every vector to its nearest centroid (coarse quantizer).
+    Centroids are tiny -> broadcast; argmin via top-1 window."""
+    c = centroids.select(
+        F.col("centroid_id").alias("cid"), F.col("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "dist",
+        -_dot(F.col(vec_col), F.col("cvec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist", "cvec")
+        .withColumnRenamed("cid", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into centroid cells; each query scores only
+    the ``n_probe`` nearest cells.
+
+    The quantizer here is deterministic k-means++-style init without
+    Lloyd iterations: centroids are the corpus vectors whose
+    md5-derived rank is smallest (reproducible on any engine, no RNG).
+    At 100 TB you would train real centroids offline and broadcast
+    them; the dataflow below (broadcast centroids -> cell assignment
+    shuffle -> per-cell scoring) is exactly the production shape, and
+    is where a trained codebook would slot in.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+
+    pick = Window.orderBy(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        .asc(),
+        F.col("vec_id").asc(),
+    )
+    centroids = (
+        c.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") <= n_centroids)
+        .select((F.col("rk") - 1).alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+
+    assigned = ivf_assign(c, centroids, "vec")
+
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes), "centroid_id"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

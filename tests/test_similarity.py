@@ -70,3 +70,32 @@ def test_near_dup_pairs_planted(spark, emb):
     pairs = embedding_near_dup_pairs(corpus, dim=DIM, threshold=0.999)
     got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
     assert got.get((0, 99_999)) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_topk_structure_and_recall(spark, emb):
+    """IVF with full probe count == brute force on cells covered; with
+    n_probe == n_centroids every cell is probed, so IVF must equal the
+    exact brute-force top-k (the quantizer only partitions work)."""
+    from eynollah_spark.operators.similarity import ivf_topk
+
+    queries = emb.orderBy("vec_id").limit(3)
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+    # partial probing: a valid ranked subset of the exact results
+    part = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
