@@ -98,6 +98,41 @@ class LineModel:
         out[blank] = C_BLANK
         return out
 
+    def classify_arrow(self, stripped_pa, s_len: np.ndarray) -> np.ndarray:
+        """Arrow fast path of the rule head: same rules as
+        ``classify_stripped`` evaluated with pyarrow.compute (RE2) over
+        contiguous buffers. Pattern set is RE2-compatible and anchored,
+        so it is semantics-identical to the Python-re path (the fuzz
+        suite exercises both against the oracle)."""
+        import pyarrow.compute as pc
+
+        cfg = self.cfg
+        n = len(s_len)
+        out = np.full(n, C_TEXT, dtype=np.int8)
+        blank = s_len == 0
+        sep = pc.match_substring_regex(stripped_pa, _SEP_RE).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        marg = (
+            pc.starts_with(stripped_pa, "[note:").to_numpy(zero_copy_only=False)
+            & pc.ends_with(stripped_pa, "]").to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        header = pc.match_substring_regex(stripped_pa, _HEADER_RE).to_numpy(
+            zero_copy_only=False
+        ).astype(bool) & (s_len <= cfg.header_max_len)
+        first = pc.utf8_slice_codeunits(stripped_pa, 0, 1)
+        dropcap = (
+            (s_len == 1)
+            & pc.greater_equal(first, "A").to_numpy(zero_copy_only=False).astype(bool)
+            & pc.less_equal(first, "Z").to_numpy(zero_copy_only=False).astype(bool)
+        )
+        out[dropcap] = C_DROPCAP
+        out[header] = C_HEADER
+        out[marg] = C_MARG
+        out[sep] = C_SEP
+        out[blank] = C_BLANK
+        return out
+
     def classify_patched(self, stripped: pd.Series) -> np.ndarray:
         """Patch-wise application with overlap-margin stitching — the
         do_prediction graft (eynollah.py:522-639): the line array is
@@ -130,34 +165,48 @@ class LineModel:
         return out
 
 
-def _flatten_lines(texts: pd.Series):
-    """Split a batch of turn texts into one flat line array.
+# Every code point Python's str.strip()/str.isspace() treats as
+# whitespace — passed to Arrow's utf8_trim so the Arrow fast path has
+# BIT-EXACT parity with the oracle's Python .strip() (Arrow's
+# utf8_trim_whitespace uses the Unicode White_Space property, which
+# differs on \x1c-\x1f etc.).
+_PY_WHITESPACE = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
 
-    Returns (lines: pd.Series[str], turn_ord: int64[], line_start: int64[],
-    n_lines_per_turn: int64[]). line_start is the char offset of each
-    line within its own turn text.
+
+def _flatten_lines_arrow(texts: pd.Series):
+    """Split a batch of turn texts into one flat Arrow line array.
+
+    Returns (lines_pa: pa.StringArray (flattened), turn_ord: int64[],
+    line_start: int64[], n_per: int64[]). line_start is the char
+    offset of each line within its own turn text. All string traffic
+    stays in Arrow contiguous buffers; no per-line Python objects are
+    created here.
     """
-    split = texts.fillna("").str.split("\n")
-    n_per = split.str.len().to_numpy(dtype=np.int64)
-    lines = pd.Series(
-        [ln for lst in split for ln in lst], dtype="object"
-    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.to_numpy(), type=pa.string(), from_pandas=True)
+    arr = pc.coalesce(arr, pa.scalar("", type=pa.string()))
+    split = pc.split_pattern(arr, "\n")
+    n_per = pc.list_value_length(split).to_numpy().astype(np.int64)
+    lines_pa = pc.list_flatten(split)
     turn_ord = np.repeat(np.arange(len(texts), dtype=np.int64), n_per)
-    # offsets: cumsum of (len+1) within each turn
-    lens = lines.str.len().to_numpy(dtype=np.int64)
+    lens = pc.utf8_length(lines_pa).to_numpy().astype(np.int64)
     csum = np.cumsum(lens + 1)
-    start_of_turn = np.zeros(len(lines), dtype=np.int64)
     turn_first = np.zeros(len(texts), dtype=np.int64)
     if len(texts):
         turn_first[1:] = np.cumsum(n_per)[:-1]
-    # line_start[i] = csum[i-1] - csum[turn_first[turn]-1]-ish; simpler:
     global_start = np.concatenate(([0], csum[:-1]))
-    base = np.zeros(len(lines), dtype=np.int64)
     nonzero = n_per > 0
-    base_vals = global_start[turn_first[nonzero]]
-    base = np.repeat(base_vals, n_per[nonzero])
+    base = np.repeat(global_start[turn_first[nonzero]], n_per[nonzero])
     line_start = global_start - base
-    del start_of_turn
+    return lines_pa, turn_ord, line_start, n_per, lens
+
+
+def _flatten_lines(texts: pd.Series):
+    """Back-compat pandas wrapper around the Arrow flattener."""
+    lines_pa, turn_ord, line_start, n_per, _ = _flatten_lines_arrow(texts)
+    lines = pd.Series(lines_pa.to_numpy(zero_copy_only=False), dtype="object")
     return lines, turn_ord, line_start, n_per
 
 
@@ -191,44 +240,64 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     if model is None:
         model = LineModel()
     cfg = model.cfg
+    import pyarrow.compute as pc
+
     texts = pdf["text"].astype("object").fillna("")
     roles = pdf["role"].to_numpy()
 
-    lines, turn_ord, line_start, n_per = _flatten_lines(texts)
+    lines_pa, turn_ord, line_start, n_per, raw_len = _flatten_lines_arrow(texts)
 
-    # --- vectorized per-line features over the whole batch ---
-    stripped = lines.str.strip()
-    lstr_len = lines.str.len().to_numpy(np.int64) - lines.str.lstrip().str.len().to_numpy(np.int64)
-    s_len = stripped.str.len().to_numpy(np.int64)
-    raw_len = lines.str.len().to_numpy(np.int64)
+    # --- Arrow-vectorized per-line features over the whole batch ---
+    # (contiguous buffers + RE2; _PY_WHITESPACE keeps .strip() parity)
+    stripped_pa = pc.utf8_trim(lines_pa, _PY_WHITESPACE)
+    s_len = pc.utf8_length(stripped_pa).to_numpy().astype(np.int64)
+    lstr_len = (
+        raw_len
+        - pc.utf8_length(pc.utf8_ltrim(lines_pa, _PY_WHITESPACE))
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+    def _b(arrow_bool):
+        return arrow_bool.to_numpy(zero_copy_only=False).astype(bool)
 
     is_banner = (
         (s_len >= 6)
-        & stripped.str.startswith("===", na=False).to_numpy()
-        & stripped.str.endswith("===", na=False).to_numpy()
+        & _b(pc.starts_with(stripped_pa, "==="))
+        & _b(pc.ends_with(stripped_pa, "==="))
     )
-    is_footer = np.zeros(len(lines), dtype=bool)
+    is_footer = np.zeros(len(s_len), dtype=bool)
     for p in FOOTER_PREFIXES:
-        is_footer |= stripped.str.startswith(p, na=False).to_numpy()
-    is_fence_marker = stripped.str.startswith("```", na=False).to_numpy()
+        is_footer |= _b(pc.starts_with(stripped_pa, p))
+    is_fence_marker = _b(pc.starts_with(stripped_pa, "```"))
 
-    cls_a = model.classify_patched(stripped)
-    # model B: binarized retry input (eynollah.py:1230-1266).
-    # Binarization only alters lines that contain non-ASCII bytes, so
-    # the second model pass runs on exactly those lines; the rest
-    # reuse cls_a (identical input => identical per-line labels).
     if model.context_window == 0:
+        cls_a = model.classify_arrow(stripped_pa, s_len)
+        # model B: binarized retry input (eynollah.py:1230-1266).
+        # Binarization only alters lines containing non-ASCII, so the
+        # second pass runs on exactly those lines; the rest reuse
+        # cls_a (identical input => identical per-line labels).
         cls_b = cls_a.copy()
-        has_nonascii = lines.str.contains(_NONASCII_RE, regex=True, na=False).to_numpy()
+        has_nonascii = _b(pc.match_substring_regex(lines_pa, _NONASCII_RE))
         if has_nonascii.any():
-            bin_sub = (
-                lines[has_nonascii]
-                .str.replace(_NONASCII_RE, "", regex=True)
-                .str.strip()
-                .reset_index(drop=True)
+            import pyarrow as pa
+
+            bin_sub_pa = pc.utf8_trim(
+                pc.replace_substring_regex(
+                    lines_pa.filter(pa.array(has_nonascii)), _NONASCII_RE, ""
+                ),
+                _PY_WHITESPACE,
             )
-            cls_b[has_nonascii] = model.classify_patched(bin_sub)
+            cls_b[has_nonascii] = model.classify_arrow(
+                bin_sub_pa, pc.utf8_length(bin_sub_pa).to_numpy().astype(np.int64)
+            )
+        stripped = None  # pandas Series not needed on the fast path
     else:
+        stripped = pd.Series(
+            stripped_pa.to_numpy(zero_copy_only=False), dtype="object"
+        )
+        lines = pd.Series(lines_pa.to_numpy(zero_copy_only=False), dtype="object")
+        cls_a = model.classify_patched(stripped)
         bin_stripped = lines.str.replace(_NONASCII_RE, "", regex=True).str.strip()
         cls_b = model.classify_patched(bin_stripped)
 
@@ -241,11 +310,13 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     span_rows = []
     diag_rows = []
     P = len(pdf)
-    n = len(lines)
+    n = len(lines_pa)
     offsets = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(n_per, out=offsets[1:])
-    lines_np = lines.to_numpy()
-    stripped_np = stripped.to_numpy()
+    # materialize Python strings once, at the boundary where span text
+    # objects are needed anyway
+    lines_np = lines_pa.to_numpy(zero_copy_only=False)
+    stripped_np = stripped_pa.to_numpy(zero_copy_only=False)
     firsts = offsets[:-1]
     tool_page = roles == "tool"
 
