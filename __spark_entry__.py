@@ -288,6 +288,19 @@ def _q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.io.pagexml import regions_to_pagexml
+
+    regions = docpage.doc_region_runs(spark, sf_dir)
+    return regions_to_pagexml(regions, ["doc_id"])
+
+
+def _q_otsu_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import otsu_threshold
+
+    return otsu_threshold(_docs(spark, sf_dir), "n_chars")
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.similarity import ivf_topk
 
@@ -335,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_classify": docpage.doc_line_classify,
         "doc_region_runs": docpage.doc_region_runs,
         "doc_boilerplate_strip": docpage.doc_boilerplate_strip,
+        "doc_pagexml": _q_doc_pagexml,
+        "otsu_nchars": _q_otsu_nchars,
         # text analysis (training-data ops)
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -691,6 +706,69 @@ SELECT doc_id,
        string_agg(line, chr(10) ORDER BY line_idx) AS region_text
 FROM seq
 GROUP BY doc_id, region_seq
+"""
+
+    sql["doc_pagexml"] = f"""
+WITH {_LINES_CTE},
+runs AS (
+  SELECT doc_id, line_idx, line, label,
+         CASE WHEN label = lag(label) OVER w THEN 0 ELSE 1 END AS new_run
+  FROM classified
+  WINDOW w AS (PARTITION BY doc_id ORDER BY line_idx)
+),
+seq AS (
+  SELECT doc_id, line_idx, line, label,
+         CAST(sum(new_run) OVER (PARTITION BY doc_id ORDER BY line_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS region_seq
+  FROM runs
+),
+regions AS (
+  SELECT doc_id,
+         printf('region_%04d', region_seq) AS region_id,
+         CAST(region_seq - 1 AS INT) AS reading_order,
+         min(label) AS label,
+         string_agg(line, chr(10) ORDER BY line_idx) AS region_text
+  FROM seq GROUP BY doc_id, region_seq
+),
+esc AS (
+  SELECT doc_id, region_id, reading_order, label,
+         replace(replace(replace(region_text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           AS etext
+  FROM regions
+)
+SELECT doc_id,
+       '<Page>' || '<ReadingOrder><OrderedGroup>'
+       || string_agg(printf('<RegionRefIndexed index="%d" regionRef="%s"/>',
+                            reading_order, region_id), '' ORDER BY reading_order)
+       || '</OrderedGroup></ReadingOrder>'
+       || string_agg(printf('<TextRegion id="%s" type="%s"><TextEquiv>%s</TextEquiv></TextRegion>',
+                            region_id, label, etext), '' ORDER BY reading_order)
+       || '</Page>' AS page_xml
+FROM esc GROUP BY doc_id
+"""
+
+    sql["otsu_nchars"] = """
+WITH hist AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n0,
+         CAST(sum(v * c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s0
+  FROM hist
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt, CAST(sum(v * c) AS BIGINT) AS st FROM hist),
+scored AS (
+  SELECT v, n0, nt,
+         n0 * (nt - n0)
+           * ((s0 * 1.0 / n0) - ((st - s0) * 1.0 / (nt - n0)))
+           * ((s0 * 1.0 / n0) - ((st - s0) * 1.0 / (nt - n0))) AS between
+  FROM cum, tot WHERE n0 < nt
+)
+SELECT v AS threshold, round(between, 4) AS between_var,
+       n0 AS n_below, nt - n0 AS n_above
+FROM scored ORDER BY between DESC, v ASC LIMIT 1
 """
 
     sql["doc_boilerplate_strip"] = """

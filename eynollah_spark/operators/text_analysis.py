@@ -115,3 +115,50 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
         "fingerprint",
         F.array_min(F.transform(shingles, lambda s: _h64(s))),
     )
+
+
+def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
+    """Otsu's threshold over an integer feature column (A10 analog of
+    otsu_copy_binary, utils/__init__.py:302-313): histogram aggregation
+    + cumulative class statistics per candidate threshold + argmax of
+    between-class variance. Pure relational (one small histogram, one
+    window cumsum, one top-1) — no iteration, engine-portable: all
+    floating math derives from exact integer sums so the argmax is
+    bit-identical across engines.
+
+    Returns one row: threshold, between_var, n_below, n_above.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("bigint")
+    hist = df.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("n0", F.sum("c").over(w)).withColumn(
+        "s0", F.sum(F.col("v") * F.col("c")).over(w)
+    )
+    tot = hist.agg(
+        F.sum("c").alias("nt"), F.sum(F.col("v") * F.col("c")).alias("st")
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n0") < F.col("nt"))
+        .withColumn("mu0", F.col("s0") / F.col("n0"))
+        .withColumn("mu1", (F.col("st") - F.col("s0")) / (F.col("nt") - F.col("n0")))
+        .withColumn(
+            "between",
+            F.col("n0")
+            * (F.col("nt") - F.col("n0"))
+            * (F.col("mu0") - F.col("mu1"))
+            * (F.col("mu0") - F.col("mu1")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("between"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("v").alias("threshold"),
+            F.round(F.col("between"), 4).alias("between_var"),
+            F.col("n0").alias("n_below"),
+            (F.col("nt") - F.col("n0")).alias("n_above"),
+        )
+    )
