@@ -568,9 +568,12 @@ def _emit_page(
     if len(sx) >= 2:
         ax = np.asarray(sx, dtype=np.float64)
         ay = np.asarray(sy, dtype=np.float64)
-        var = float(((ax - ax.mean()) ** 2).sum())
+        mx = ax.sum() / len(ax)
+        my = ay.sum() / len(ay)
+        dx = ax - mx
+        var = float((dx * dx).sum())
         if var > 0:
-            slope = float(((ax - ax.mean()) * (ay - ay.mean())).sum()) / var
+            slope = float((dx * (ay - my)).sum()) / var
 
     # §7 reading order
     tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
@@ -655,10 +658,16 @@ def build_ink_matrix(lines_np: np.ndarray, rlen: np.ndarray):
 
 def _find_gutters(raw, rlen, lids, cfg: ExtractConfig, ink=None):
     """SPEC §6 gutters, numpy ink profile over the block."""
-    w = int(max(rlen[i] for i in lids))
+    contiguous = isinstance(lids, range) and lids.step == 1
+    if contiguous:
+        w = int(rlen[lids.start : lids.stop].max()) if len(lids) else 0
+    else:
+        w = int(max(rlen[i] for i in lids))
     if w == 0:
         return []
-    if ink is not None:
+    if ink is not None and contiguous:
+        profile = ink[lids.start : lids.stop, :w].sum(axis=0)
+    elif ink is not None:
         profile = ink[np.asarray(lids, dtype=np.int64), :w].sum(axis=0)
     else:
         profile = np.zeros(w, dtype=np.int64)
