@@ -171,3 +171,42 @@ def test_id_counter_semantics(spark):
         assert nums.iloc[0] == 1
         assert set(nums.diff().dropna().unique()) <= {0, 1}
         assert grp["line_id"].str.match(r"^region_\d{4}_line_\d{4}$").all()
+
+
+def test_adversarial_turns_match_oracle(spark):
+    """Hostile page shapes through the REAL Spark pipeline (not just
+    the local kernel): unclosed fence, banner+footer-only page, a
+    multi-hundred-KB single-line turn (ink-grid fallback path),
+    unicode separators (binarized-retry path), empty and
+    whitespace-only turns, fence-only page."""
+    from eynollah_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA
+    from eynollah_spark.oracle.reference import analyze_turn_naive
+
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("adv", 0, "user", "intro line\n```python\nx = 1\nno closing fence", None, ts),
+        ("adv", 1, "assistant", "=== BANNER ===\n(c) footer only", None, ts),
+        ("adv", 2, "user", "y" * 300_000, None, ts),
+        ("adv", 3, "assistant", "text a\n────\ntext b", None, ts),
+        ("adv", 4, "user", "", None, ts),
+        ("adv", 5, "tool", "  \n\t\n", None, ts),
+        ("adv", 6, "assistant", "```\n```", None, ts),
+        ("adv", 7, "user", "## H\nA\nbody text here continues", None, ts),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    from eynollah_spark.operators.extract import extract_spans
+
+    got = {}
+    for r in extract_spans(df).collect():
+        got.setdefault(r.turn_idx, []).append(
+            (r.span_idx, r.region_type, r.region_seq, r.char_start, r.char_end, r.text)
+        )
+    for turn_idx, role, text in [(r[1], r[2], r[3]) for r in rows]:
+        want = [
+            (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+            for s in analyze_turn_naive(text, role)
+        ]
+        have = sorted(got.get(turn_idx, []))
+        assert have == want, f"turn {turn_idx} ({role!r}): {have[:3]} != {want[:3]}"
