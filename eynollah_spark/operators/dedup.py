@@ -122,9 +122,13 @@ def minhash_signatures(
         F.min(_h64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # n_sh (set size, needed by Jaccard verification) rides the same
+    # groupBy so callers never re-scan the shingles for sizes
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
     return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        "n_sh",
     )
 
 
@@ -145,6 +149,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, k, num_hashes)
     banded = sig.select(
         "doc_id",
+        "n_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -156,7 +161,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.bsig")
+    ).select("doc_id", "n_sh", "bs.band", "bs.bsig")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -166,7 +171,12 @@ def minhash_lsh_pairs(
             & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
     # exact-Jaccard verification restricted to the candidate pairs:
@@ -187,16 +197,11 @@ def minhash_lsh_pairs(
             (F.col("b.doc_id") == F.col("doc_b"))
             & (F.col("a.shingle") == F.col("b.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
