@@ -322,6 +322,15 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(transcripts_from_documents(spark, sf_dir))
 
 
+def _q_extract_spans_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with the table-detection mode on (-tab analog)."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_from_documents(spark, sf_dir), ExtractConfig(enable_tables=True)
+    )
+
+
 def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
@@ -372,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is gated by the fixture pytest suite (tests/test_extract_e2e.py)
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
+        "extract_spans_tables": _q_extract_spans_tables,
         "page_diags": _q_page_diags,
     }
 

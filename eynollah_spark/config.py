@@ -61,6 +61,14 @@ class ExtractConfig:
     # without a separator rule
     band_blank_gap: int = 2
 
+    # --- table mode (M10 analog, eynollah.py:1841-1941; gated like the
+    # reference's -tab flag, cli.py) ---
+    # off by default: the reference only detects tables when asked
+    enable_tables: bool = False
+    # a line whose stripped form contains >= this many '|' cell
+    # delimiters is a table row (checked after every other class rule)
+    table_min_pipes: int = 2
+
 
 DEFAULT_CONFIG = ExtractConfig()
 
@@ -70,6 +78,7 @@ SEP_CHARS = frozenset("-*=_—–~")
 
 # region types (PAGE-XML region types, writer.py:142-248)
 RT_TEXT = "text"
+RT_TABLE = "table"
 RT_HEADER = "header"
 RT_MARGINALIA = "marginalia"
 RT_DROPCAP = "drop-capital"

@@ -29,6 +29,7 @@ import pandas as pd
 
 from eynollah_spark.config import (
     DEFAULT_CONFIG,
+    RT_TABLE,
     ExtractConfig,
     FOOTER_PREFIXES,
     RT_DROPCAP,
@@ -44,6 +45,8 @@ from eynollah_spark.config import (
 C_BLANK, C_SEP, C_MARG, C_HEADER, C_DROPCAP, C_TEXT = 0, 1, 2, 3, 4, 5
 # assigned outside the classifier:
 C_FENCE, C_TOOL = 6, 7
+# table row (M10 analog; only produced when cfg.enable_tables)
+C_TABLE = 8
 
 _SEP_RE = "^[" + re.escape("".join(sorted(SEP_CHARS))) + "]{3,}$"
 _HEADER_RE = r"^(?:#{1,6} |[A-Z][A-Z0-9_]{2,11}:)"
@@ -91,6 +94,9 @@ class LineModel:
         dropcap = (slen == 1) & (first >= "A").to_numpy() & (first <= "Z").to_numpy()
 
         # first-match-wins precedence, applied in reverse priority
+        if cfg.enable_tables:
+            table = stripped.str.count(r"\|").to_numpy() >= cfg.table_min_pipes
+            out[table] = C_TABLE
         out[dropcap] = C_DROPCAP
         out[header] = C_HEADER
         out[marg] = C_MARG
@@ -126,6 +132,14 @@ class LineModel:
             & pc.greater_equal(first, "A").to_numpy(zero_copy_only=False).astype(bool)
             & pc.less_equal(first, "Z").to_numpy(zero_copy_only=False).astype(bool)
         )
+        if cfg.enable_tables:
+            table = (
+                pc.count_substring(stripped_pa, "|")
+                .to_numpy()
+                .astype(np.int64)
+                >= cfg.table_min_pipes
+            )
+            out[table] = C_TABLE
         out[dropcap] = C_DROPCAP
         out[header] = C_HEADER
         out[marg] = C_MARG
@@ -364,6 +378,19 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     cls[active & in_fence_before & ~fm] = C_TOOL
     cls[fm] = C_FENCE
 
+    # §5t table-separator fusion (J5 analog, eynollah.py:1783-1817):
+    # a separator line directly between two table lines joins the
+    # table, so interleaved runs union and the absorbed rule line no
+    # longer advances the band counter
+    if cfg.enable_tables:
+        is_sep_l = active & (cls == C_SEP)
+        prev_tab = np.zeros(n, dtype=bool)
+        next_tab = np.zeros(n, dtype=bool)
+        if n > 1:
+            prev_tab[1:] = (cls[:-1] == C_TABLE) & active[:-1] & (page[1:] == page[:-1])
+            next_tab[:-1] = (cls[1:] == C_TABLE) & active[1:] & (page[1:] == page[:-1])
+        cls[is_sep_l & prev_tab & next_tab] = C_TABLE
+
     # §5a bands: the gap-th consecutive blank and every separator line
     # advance the band counter for LATER lines (exclusive prefix)
     blank = active & (cls == C_BLANK)
@@ -488,6 +515,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
 # region-type string for each line class that can open a region
 _CODE_RT = {
     C_TEXT: RT_TEXT,
+    C_TABLE: RT_TABLE,
     C_TOOL: RT_TOOL,
     C_MARG: RT_MARGINALIA,
     C_HEADER: RT_HEADER,
@@ -576,7 +604,7 @@ def _emit_page(
             slope = float((dx * (ay - my)).sum()) / var
 
     # §7 reading order
-    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
+    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, RT_TABLE: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
     out_regions.sort(key=lambda r: (r[1], tg[r[0]], r[2], r[3]))
 
     # §8 drop-capital merge

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from eynollah_spark.config import (
+    RT_TABLE,
     DEFAULT_CONFIG,
     ExtractConfig,
     FOOTER_PREFIXES,
@@ -94,6 +95,8 @@ def classify_line_naive(line: str, cfg: ExtractConfig) -> str:
         return "header"
     if len(s) == 1 and "A" <= s <= "Z":
         return "dropcap"
+    if cfg.enable_tables and s.count("|") >= cfg.table_min_pipes:
+        return "table"
     return "text"
 
 
@@ -180,6 +183,25 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             return fence_state[i]
         return cls[i]
 
+    # §5t table-separator fusion (J5 analog,
+    # add_tables_heuristic_to_layout eynollah.py:1783-1817): a
+    # separator line directly between two table lines is absorbed into
+    # the table, so the interleaved runs union into one region and the
+    # absorbed rule line no longer advances the band counter
+    if cfg.enable_tables:
+        eff = {i: line_class(i) for i in page_idx}
+        for i in page_idx:
+            if (
+                eff.get(i) == "separator"
+                and eff.get(i - 1) == "table"
+                and eff.get(i + 1) == "table"
+            ):
+                eff[i] = "table"
+        orig_line_class = line_class
+
+        def line_class(i: int) -> str:  # noqa: F811
+            return eff[i]
+
     # §5 regions and bands
     regions: list[_Region] = []
     band = 0
@@ -204,8 +226,9 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
         if c == "fence":
             close()
             continue
-        if c in ("text", "tool", "marginalia"):
-            rt = {"text": RT_TEXT, "tool": RT_TOOL, "marginalia": RT_MARGINALIA}[c]
+        if c in ("text", "tool", "marginalia", "table"):
+            rt = {"text": RT_TEXT, "tool": RT_TOOL, "marginalia": RT_MARGINALIA,
+                  "table": RT_TABLE}[c]
             if cur is not None and cur.rtype == rt:
                 cur.spans.append((i, -1, ""))  # line index placeholder
             else:
@@ -286,7 +309,7 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             diag["slope"] = cov / var
 
     # §7 reading order
-    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
+    tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, RT_TABLE: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
     out_regions.sort(key=lambda r: (r.band, tg[r.rtype], r.first_line, r.col_idx))
 
     # §8 drop-capital merge

@@ -110,3 +110,64 @@ def test_patch_stitching_equals_whole():
 def test_empty_and_degenerate():
     for text in ["", "   \n \n  ", "\n\n\n", "```", "```\nx"]:
         assert _kernel_spans([(text, "user")])[0] == _oracle_spans(text, "user")
+
+
+def test_table_mode_parity_and_fusion():
+    """M10 analog (-tab flag): pipe-delimited rows become 'table'
+    regions; a separator rule directly between two table rows is
+    absorbed (J5 fusion) and stops advancing the band counter.
+    Kernel and oracle must agree span-for-span; with the flag off the
+    same input is plain text."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(enable_tables=True)
+    model = LineModel(cfg)
+    text = "\n".join(
+        [
+            "intro paragraph line",
+            "| a | b |",
+            "---",
+            "| c | d |",
+            "tail text",
+            "---",
+            "after separator",
+        ]
+    )
+
+    def kernel_spans(m):
+        pdf = pd.DataFrame(
+            {"conv_id": ["c"], "turn_idx": [0], "role": ["user"], "text": [text]}
+        )
+        out = analyze_turns_batch(pdf, m)
+        return [
+            (int(t.span_idx), t.region_type, int(t.region_seq), int(t.char_start),
+             int(t.char_end), t.text)
+            for t in out.itertuples(index=False)
+        ]
+
+    got = kernel_spans(model)
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user", cfg)
+    ]
+    assert got == want
+    types = [g[1] for g in got]
+    assert "table" in types
+    # fused region: the absorbed '---' is inside one table region with
+    # both pipe rows
+    table_spans = [g for g in got if g[1] == "table"]
+    assert len({g[2] for g in table_spans}) == 1
+    assert [g[5] for g in table_spans] == ["| a | b |", "---", "| c | d |"]
+    # the second separator (not between table rows) stays a separator
+    assert "separator" in types
+
+    # flag off: identical input has no table regions, and kernel still
+    # matches the oracle
+    off = kernel_spans(LineModel())
+    assert "table" not in [g[1] for g in off]
+    off_want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user")
+    ]
+    assert off == off_want
