@@ -432,7 +432,6 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         counts = np.zeros(0, dtype=np.int64)
     r_lo = np.searchsorted(starts, offsets[:-1])
     r_hi = np.searchsorted(starts, offsets[1:])
-    ink = build_ink_matrix(lines_np, raw_len)
 
     for t in range(P):
         if tool_page[t]:
@@ -474,7 +473,6 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             raw_len,
             cfg,
             want_diag,
-            ink,
         )
         if want_diag:
             diag_rows.append(res)
@@ -527,7 +525,7 @@ _CODE_RT = {
 def _emit_page(
     regions, n, ratio, used_b,
     raw, strp, lstart, lead, slen, rlen,
-    cfg: ExtractConfig, want_diag: bool, ink=None,
+    cfg: ExtractConfig, want_diag: bool,
 ):
     """SPEC §§6-10 for one page: column split, span materialization,
     reading order, drop-capital merge, small-fragment adherence,
@@ -555,7 +553,7 @@ def _emit_page(
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
             gutters = (
-                _find_gutters(raw, rlen, lids, cfg, ink)
+                _find_gutters(raw, rlen, lids, cfg)
                 if len(lids) >= cfg.min_block_lines
                 else []
             )
@@ -667,24 +665,7 @@ def _emit_page(
     return diag_or_spans(spans, len(final_regions), max_cols, slope)
 
 
-def build_ink_matrix(lines_np: np.ndarray, rlen: np.ndarray):
-    """Batch-wide is-ink (non-space, in-bounds) char grid.
-
-    numpy's fixed-width unicode dtype IS a UTF-32 grid, so one astype
-    pass + a uint32 view yields per-char codes for every line at once
-    (0-padded past each line's end). Falls back to None for extreme
-    widths; callers then use the per-line path.
-    """
-    if len(lines_np) == 0:
-        return None
-    w = int(rlen.max()) if len(rlen) else 0
-    if w == 0 or len(lines_np) * w > 200_000_000:
-        return None
-    grid = lines_np.astype(f"U{w}").view(np.uint32).reshape(len(lines_np), w)
-    return (grid != 32) & (grid != 0)
-
-
-def _find_gutters(raw, rlen, lids, cfg: ExtractConfig, ink=None):
+def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
     """SPEC §6 gutters, numpy ink profile over the block."""
     contiguous = isinstance(lids, range) and lids.step == 1
     if contiguous:
@@ -693,10 +674,13 @@ def _find_gutters(raw, rlen, lids, cfg: ExtractConfig, ink=None):
         w = int(max(rlen[i] for i in lids))
     if w == 0:
         return []
-    if ink is not None and contiguous:
-        profile = ink[lids.start : lids.stop, :w].sum(axis=0)
-    elif ink is not None:
-        profile = ink[np.asarray(lids, dtype=np.int64), :w].sum(axis=0)
+    if contiguous:
+        # numpy's fixed-width unicode dtype IS a UTF-32 grid: one
+        # astype over just this block yields per-char codes (0-padded
+        # past each line's end) — no per-line encodes, no global grid
+        blk = raw[lids.start : lids.stop]
+        grid = blk.astype(f"U{w}").view(np.uint32).reshape(len(blk), w)
+        profile = ((grid != 32) & (grid != 0)).sum(axis=0)
     else:
         profile = np.zeros(w, dtype=np.int64)
         for i in lids:
