@@ -191,6 +191,36 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, dim=64, threshold=0.2, n_planes=4)
 
 
+# one ANSI-SQL text executed verbatim by BOTH spark.sql and the DuckDB
+# oracle — the SQL API surface of the engine, portability by sharing
+_TOP_NATIONS_SQL = """
+SELECT r_name, n_name, revenue, rnk FROM (
+  SELECT r_name, n_name, revenue,
+         CAST(row_number() OVER (PARTITION BY r_name
+                                 ORDER BY revenue DESC, n_name) AS INT) AS rnk
+  FROM (
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+  ) rev
+) ranked
+WHERE rnk <= 3
+"""
+
+
+def _q_sql_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() surface: the exact oracle SQL text runs on Spark
+    too (temp views over the same parquet)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_TOP_NATIONS_SQL)
+
+
 def _q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     return p.groupBy("p_brand").agg(
@@ -350,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_bands": relational.activity_bands,
         "session_containment": relational.session_containment,
         "streaming_minute_rollup": _q_streaming_minute_rollup,
+        "sql_top_nations": _q_sql_top_nations,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_nation_balance": _q_supplier_nation_balance,
         "events_json_extract": _q_events_json,
@@ -580,6 +611,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events
 GROUP BY 1, 2
 """
+
+    sql["sql_top_nations"] = _TOP_NATIONS_SQL
 
     sql["parts_by_brand"] = """
 SELECT p_brand, count(*) AS n_parts,
