@@ -56,6 +56,33 @@ def _normalize(rows, cols):
     return out
 
 
+# DuckDB type name -> acceptable Spark simpleString types. The driver
+# compares schemas, so the mirror must flag dtype drift (e.g. a Spark
+# INT vs an un-cast DuckDB BIGINT), not just column names.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+    "HUGEINT": set(),  # never acceptable — cast to BIGINT in the SQL
+}
+
+
+def _check_dtypes(name, sdf, dcols, dtypes):
+    stypes = dict(sdf.dtypes)
+    for col, d in zip(dcols, dtypes):
+        allowed = _DUCK_TO_SPARK.get(d)
+        if allowed is None:
+            continue  # exotic type: value comparison still applies
+        assert stypes.get(col) in allowed, (
+            f"{name}.{col}: spark dtype {stypes.get(col)!r} vs duckdb {d}"
+        )
+
+
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 
 
@@ -69,10 +96,12 @@ def test_query_matches_oracle(spark, name):
     con = _duck(SF_DIR)
     res = con.sql(entrymod.oracle_sql()[name])
     dcols = res.columns
+    dtypes = [str(t) for t in res.types]
     drows = res.fetchall()
     con.close()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    _check_dtypes(name, sdf, dcols, dtypes)
     sn = _normalize(srows, scols)
     dn = _normalize(drows, dcols)
     assert len(sn) == len(dn), f"{name}: row count {len(sn)} vs {len(dn)}"
