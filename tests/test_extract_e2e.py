@@ -210,3 +210,43 @@ def test_adversarial_turns_match_oracle(spark):
         ]
         have = sorted(got.get(turn_idx, []))
         assert have == want, f"turn {turn_idx} ({role!r}): {have[:3]} != {want[:3]}"
+
+
+def test_mega_conversation_skew(spark):
+    """One pathological 20k-turn conversation among normal ones (the
+    north-rule skew case): the salted path must spread it across
+    partitions and produce byte-identical output to the unsalted
+    pipeline, with dense per-conversation reading order."""
+    import pyspark.sql.functions as F
+    from eynollah_spark.operators.extract import extract_spans, extract_spans_salted
+
+    mega = spark.range(20_000).select(
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.concat(
+            F.lit("## T"), F.col("id").cast("string"),
+            F.lit("\nbody line one with words\nbody line two with words"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("ts"),
+    )
+    small = spark.range(50).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("just one line here").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("ts"),
+    )
+    turns = mega.unionByName(small).repartition(8)
+
+    cols = ["conv_id", "turn_idx", "span_idx", "region_type", "reading_order",
+            "region_id", "line_id", "text"]
+    base = extract_spans(turns).select(cols).orderBy(cols[:3]).collect()
+    salted = extract_spans_salted(turns, salt_buckets=16).select(cols).orderBy(cols[:3]).collect()
+    assert base == salted
+    # dense 0-based reading order within the mega conversation
+    mega_orders = [r.reading_order for r in base if r.conv_id == "mega"]
+    assert sorted(mega_orders) == list(range(len(mega_orders)))
+    assert len(mega_orders) == 20_000 * 3  # header + 2 body lines per turn
