@@ -348,6 +348,22 @@ def _q_extract_spans_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (the canonical training-data flow):
+    quality gate -> exact dedup (keep lowest doc_id) -> near-dup
+    removal (drop the higher id of any Jaccard>=0.5 pair). Each stage
+    is an existing operator; the composition stays one declarative
+    plan for Catalyst."""
+    docs = _docs(spark, sf_dir)
+    q = quality_features(docs).filter(F.col("quality_score") >= 0.5).select("doc_id", "text")
+    kept = dedup_exact(q).select("doc_id", "text")
+    near = ngram_jaccard_pairs(kept, k=JACCARD_K, threshold=0.5).select("doc_b")
+    return (
+        kept.join(near, kept.doc_id == near.doc_b, "left_anti")
+        .select("doc_id")
+    )
+
+
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(transcripts_from_documents(spark, sf_dir))
 
@@ -397,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "curation_survivors": _q_curation_survivors,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -878,6 +895,49 @@ SELECT doc_id, text_hash FROM (
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)
 WHERE rn = 1
+"""
+
+
+    sql["curation_survivors"] = f"""
+WITH q AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           round(least({n_ws} / 100.0, 1.0) * 0.4
+                 + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+                 + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+                 6) AS qs
+    FROM documents)
+  WHERE qs >= 0.5
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - 3, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+3], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM kept)
+  ) WHERE length(shingle) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drop_b AS (
+  SELECT DISTINCT doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+)
+SELECT doc_id FROM kept
+WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
 """
 
     sql["jaccard_pairs"] = f"""
