@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the audited plan properties from
+README §Plan shapes, asserted so future rounds can't silently regress
+them (a second exchange in the extract path, a lost broadcast, a lost
+filter pushdown)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_single_exchange(spark):
+    """The pipeline's contract: kernel narrow on the scan, exactly ONE
+    exchange (hash by conv_id) feeding all three ordering windows."""
+    from eynollah_spark.operators.extract import extract_spans
+
+    turns = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "cast(event_id as string) as conv_id",
+        "cast(event_id % 5 as int) as turn_idx",
+        "'user' as role",
+        "props as text",
+    )
+    plan = _plan(extract_spans(turns))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(conv_id" in plan
+    assert plan.count("Window") == 3
+
+
+def test_star_join_broadcasts_dims(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["order_price_buckets"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [" in plan
+    # partial (map-side) aggregation before the single exchange
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_is_broadcast(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
+
+
+def test_topk_no_corpus_shuffle_before_scoring(spark):
+    """Brute-force ANN: query set broadcast; the only exchange is the
+    per-query window for top-k ranking."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["embedding_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
