@@ -433,7 +433,73 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     r_lo = np.searchsorted(starts, offsets[:-1])
     r_hi = np.searchsorted(starts, offsets[1:])
 
-    for t in range(P):
+    # ---- span-mode fast path: pages needing no merges or column
+    # splits (the large majority) emit entirely as numpy arrays;
+    # pages with drop-capitals, small fragments, or gutter splits fall
+    # back to the per-page path below. Tool pages are fast by
+    # construction (one pseudo-region of all nonblank lines).
+    fast_df = None
+    if not want_diag and n:
+        r_page = page[starts]
+        r_label = cls[starts]
+        page_has_dropcap = np.zeros(P, dtype=bool)
+        if len(starts):
+            page_has_dropcap[r_page[r_label == C_DROPCAP]] = True
+        frag_line = (
+            regline
+            & (cls == C_TEXT)
+            & (s_len > 0)
+            & (s_len <= cfg.small_fragment_max_len)
+        )
+        page_has_frag = np.zeros(P, dtype=bool)
+        page_has_frag[page[frag_line]] = True
+        complex_page = page_has_dropcap | page_has_frag
+        # gutter pre-check only where the page is otherwise simple;
+        # results are cached so the per-page path never recomputes
+        gutter_cache: dict[int, list] = {}
+        if len(starts):
+            eligible = np.flatnonzero(
+                (r_label == C_TEXT)
+                & (counts >= cfg.min_block_lines)
+                & ~complex_page[r_page]
+                & ~tool_page[r_page]
+            )
+            for r in eligible:
+                lids = range(int(starts[r]), int(starts[r] + counts[r]))
+                g = _find_gutters(lines_np, raw_len, lids, cfg)
+                gutter_cache[int(starts[r])] = g
+                if g:
+                    complex_page[r_page[r]] = True
+        simple_page = ~complex_page
+        # fast region table: real regions on simple non-tool pages +
+        # one pseudo-region per non-empty tool page
+        if len(starts):
+            rmask = simple_page[r_page] & ~tool_page[r_page]
+            fr_start = starts[rmask]
+            fr_count = counts[rmask]
+            fr_label = r_label[rmask]
+            fr_band = band[starts][rmask]
+            fr_page = r_page[rmask]
+        else:
+            fr_start = fr_count = fr_label = fr_band = fr_page = np.zeros(0, np.int64)
+        tp = np.flatnonzero(tool_page & (n_per > 0))
+        if len(tp):
+            fr_start = np.concatenate([fr_start, firsts[tp]])
+            fr_count = np.concatenate([fr_count, n_per[tp]])
+            fr_label = np.concatenate([fr_label, np.full(len(tp), C_TOOL, np.int8)])
+            fr_band = np.concatenate([fr_band, np.zeros(len(tp), np.int64)])
+            fr_page = np.concatenate([fr_page, tp])
+        if len(fr_start):
+            fast_df = _emit_fast(
+                fr_start, fr_count, fr_label, fr_band, fr_page,
+                pdf, stripped_np, line_start + lstr_len, s_len,
+            )
+        pages_iter = np.flatnonzero(complex_page & ~tool_page)
+    else:
+        gutter_cache = {}
+        pages_iter = np.arange(P)
+
+    for t in pages_iter:
         if tool_page[t]:
             spans = []
             for i in range(offsets[t], offsets[t + 1]):
@@ -473,6 +539,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             raw_len,
             cfg,
             want_diag,
+            gutter_cache,
         )
         if want_diag:
             diag_rows.append(res)
@@ -507,7 +574,76 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     else:
         out.insert(0, "conv_id", pd.Series([], dtype="object"))
         out.insert(1, "turn_idx", pd.Series([], dtype="int64"))
-    return out.drop(columns=["_t"])
+    out = out.drop(columns=["_t"])
+    if fast_df is not None and len(fast_df):
+        out = pd.concat([fast_df, out], ignore_index=True) if len(out) else fast_df
+    return out
+
+
+# reading-order type group per line class (SPEC §7); drop-capital is
+# never on the fast path
+_TG_LUT = np.full(16, 9, dtype=np.int8)
+_TG_LUT[C_HEADER] = 0
+_TG_LUT[C_TEXT] = 1
+_TG_LUT[C_TOOL] = 1
+_TG_LUT[C_TABLE] = 1
+_TG_LUT[C_MARG] = 2
+_TG_LUT[C_SEP] = 3
+
+
+def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cstart, s_len):
+    """Array-native span emission for merge-free regions (SPEC §§7,10
+    without §§8-9, which route to the per-page path): sort regions by
+    (page, band, type-group, first_line), drop span-less regions,
+    number regions and spans per page, gather span fields — all numpy,
+    no per-line Python."""
+    order = np.lexsort((fr_start, _TG_LUT[fr_label], fr_band, fr_page))
+    st = fr_start[order].astype(np.int64)
+    cn = fr_count[order].astype(np.int64)
+    pg = fr_page[order].astype(np.int64)
+    lb = fr_label[order]
+
+    total = int(cn.sum())
+    if total == 0:
+        return None
+    reg_first = np.cumsum(cn) - cn
+    line_ids = np.repeat(st - reg_first, cn) + np.arange(total, dtype=np.int64)
+    reg_of_line = np.repeat(np.arange(len(st), dtype=np.int64), cn)
+    keep = s_len[line_ids] > 0
+    li = line_ids[keep]
+    rl = reg_of_line[keep]
+    if len(li) == 0:
+        return None
+
+    # regions with zero surviving spans vanish before numbering
+    kept_per_region = np.bincount(rl, minlength=len(st))
+    ne = np.flatnonzero(kept_per_region > 0)
+    pg_ne = pg[ne]
+    seq_ne = np.arange(len(ne), dtype=np.int64) - np.searchsorted(pg_ne, pg_ne)
+    region_seq = np.zeros(len(st), dtype=np.int64)
+    region_seq[ne] = seq_ne
+
+    span_page = pg[rl]
+    span_idx = np.arange(len(li), dtype=np.int64) - np.searchsorted(span_page, span_page)
+
+    rt_lut = np.empty(16, dtype=object)
+    for code, rt in _CODE_RT.items():
+        rt_lut[code] = rt
+    conv_vals = pdf["conv_id"].to_numpy()
+    turn_vals = pdf["turn_idx"].to_numpy()
+    cs = cstart[li]
+    return pd.DataFrame(
+        {
+            "conv_id": conv_vals[span_page],
+            "turn_idx": turn_vals[span_page],
+            "span_idx": span_idx,
+            "region_type": rt_lut[lb[rl]],
+            "region_seq": region_seq[rl],
+            "char_start": cs,
+            "char_end": cs + s_len[li],
+            "text": strp_np[li],
+        }
+    )
 
 
 # region-type string for each line class that can open a region
@@ -525,7 +661,7 @@ _CODE_RT = {
 def _emit_page(
     regions, n, ratio, used_b,
     raw, strp, lstart, lead, slen, rlen,
-    cfg: ExtractConfig, want_diag: bool,
+    cfg: ExtractConfig, want_diag: bool, gutter_cache=None,
 ):
     """SPEC §§6-10 for one page: column split, span materialization,
     reading order, drop-capital merge, small-fragment adherence,
@@ -552,11 +688,12 @@ def _emit_page(
 
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
-            gutters = (
-                _find_gutters(raw, rlen, lids, cfg)
-                if len(lids) >= cfg.min_block_lines
-                else []
-            )
+            if len(lids) < cfg.min_block_lines:
+                gutters = []
+            elif gutter_cache is not None and rfirst in gutter_cache:
+                gutters = gutter_cache[rfirst]
+            else:
+                gutters = _find_gutters(raw, rlen, lids, cfg)
             if gutters:
                 max_cols = max(max_cols, len(gutters) + 1)
                 w = int(max(rlen[i] for i in lids))
