@@ -36,6 +36,7 @@ from eynollah_spark.operators.extract import (
     analyze_pages,
     extract_spans,
     extract_spans_salted,
+    probe_turn_metadata,
 )
 from eynollah_spark.operators.multimodal import (
     extract_features,
@@ -61,12 +62,22 @@ from eynollah_spark.operators.text_analysis import (
 # ---------------------------------------------------------------------------
 JACCARD_K = 3
 JACCARD_T = 0.2
+JACCARD_MAX_DF = 1000  # shingle doc-frequency cap (skew guard)
 MINHASH_N = 16
 MINHASH_BANDS = 4
 SIMHASH_MAX_DIST = 8
+SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
 TOPK_K = 5
 TOPK_QUERY_MAX_ID = 8  # queries = vec_id < 8
 LINES_PER_TURN = 4
+EMB_DIM = 64
+NEAR_DUP_T = 0.2
+NEAR_DUP_PLANES = 4
+LSH_PLANES = 5
+LSH_TABLES = 3
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+PROBE_DENSITY_MIN = 30.0  # chars/line; the DPI_THRESHOLD=298 analog
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,7 +171,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_T)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        k=JACCARD_K,
+        threshold=JACCARD_T,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +190,11 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_hamming_pairs(_docs(spark, sf_dir), max_distance=SIMHASH_MAX_DIST)
+    return simhash_hamming_pairs(
+        _docs(spark, sf_dir),
+        max_distance=SIMHASH_MAX_DIST,
+        min_tokens=SIMHASH_MIN_TOKENS,
+    )
 
 
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,7 +208,15 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_double(spark, sf_dir)
-    return embedding_near_dup_pairs(e, dim=64, threshold=0.2, n_planes=4)
+    return embedding_near_dup_pairs(
+        e, dim=EMB_DIM, threshold=NEAR_DUP_T, n_planes=NEAR_DUP_PLANES
+    )
+
+
+def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return probe_turn_metadata(
+        transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
+    )
 
 
 # one ANSI-SQL text executed verbatim by BOTH spark.sql and the DuckDB
@@ -283,7 +311,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
-    out = lsh_topk(e, q, dim=64, k=TOPK_K, n_planes=5, n_tables=3)
+    out = lsh_topk(e, q, dim=EMB_DIM, k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
@@ -336,7 +364,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
-    out = ivf_topk(e, q, k=TOPK_K, n_centroids=16, n_probe=4)
+    out = ivf_topk(e, q, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
@@ -417,11 +445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
-        # similarity search
+        # similarity search (ANN paths are md5-deterministic, so even
+        # the approximate ones carry exact DuckDB oracles)
         "embedding_topk": _q_topk,
-        "embedding_near_dup": _q_embedding_near_dup,  # rows-only (LSH recall)
-        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
-        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate by design)
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        # S2 metadata probe (check_dpi analog)
+        "probe_metadata": _q_probe_metadata,
         # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
@@ -484,11 +515,13 @@ sh AS (
 )
 """
 
-_JACCARD_SQL_BODY = """
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+def _jaccard_body(src: str = "sh") -> str:
+    """sizes/inter/jac CTE block over a named shingle relation."""
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -497,6 +530,20 @@ jac AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+_JACCARD_SQL_BODY = _jaccard_body("sh")
+
+# doc-frequency cap over the distinct-shingle relation (mirror of
+# ngram_jaccard_pairs(max_doc_freq=...); shingles are distinct per doc
+# so count(*) per shingle IS the doc frequency)
+_SH_CAPPED_CTE = f"""
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {JACCARD_MAX_DF}) ok USING (shingle)
 )
 """
 
@@ -924,10 +971,15 @@ sh AS (
     FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM kept)
   ) WHERE length(shingle) > 0
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {JACCARD_MAX_DF}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 drop_b AS (
@@ -942,7 +994,8 @@ WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
 
     sql["jaccard_pairs"] = f"""
 WITH {_SHINGLES_CTE},
-{_JACCARD_SQL_BODY}
+{_SH_CAPPED_CTE},
+{_jaccard_body("shc")}
 SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
@@ -972,10 +1025,17 @@ WHERE jaccard >= {JACCARD_T}
 
     tok_h = _h64sql("tok")
     sql["simhash_pairs"] = f"""
-WITH th AS (
+WITH eligible AS (
+  -- min-token guard: near-empty docs are excluded from banding
+  -- (mirror of simhash_hamming_pairs(min_tokens=...))
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        t -> length(t) > 0)) >= {SIMHASH_MIN_TOKENS}
+),
+th AS (
   SELECT doc_id, {tok_h} AS h
   FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-        FROM documents)
+        FROM eligible)
   WHERE length(tok) > 0
 ),
 votes AS (
@@ -1036,5 +1096,158 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
 WHERE rk <= {TOPK_K}
 """
 
-    # embedding_near_dup, extract_spans, page_diags: rows-only by design
+    # --- deterministic-ANN oracles: all randomness is md5-derived, so
+    # DuckDB reproduces the hyperplanes / centroid picks exactly ---
+    _E_CTE = """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    # hyperplane component: md5('plane<p>:<j>')[0:8] as a fraction of
+    # 16^8, shifted to [-0.5, 0.5) — mirror of similarity.hyperplane
+    _PLANE = (
+        "CAST(('0x' || substring(md5('plane' || CAST({p} AS VARCHAR) || ':' "
+        "|| CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5"
+    )
+    _COS = (
+        "round(list_dot_product({a}.v, {b}.v) / "
+        "(sqrt(list_dot_product({a}.v, {a}.v)) * "
+        "sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+    )
+
+    sql["embedding_near_dup"] = f"""
+WITH {_E_CTE},
+planes AS (
+  SELECT i,
+         list_transform(range({EMB_DIM}), j -> {_PLANE.format(p='i')}) AS pv
+  FROM (SELECT unnest(range({NEAR_DUP_PLANES})) AS i)
+),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN CAST(pow(2, planes.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM e, planes GROUP BY e.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT id_a, id_b, {_COS.format(a='ea', b='eb')} AS cosine
+  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= {NEAR_DUP_T}
+"""
+
+    sql["ann_lsh_topk"] = f"""
+WITH {_E_CTE},
+planes AS (
+  SELECT t, i,
+         list_transform(range({EMB_DIM}),
+                        j -> {_PLANE.format(p=f't * {LSH_PLANES} + i')}) AS pv
+  FROM (SELECT unnest(range({LSH_TABLES})) AS t),
+       (SELECT unnest(range({LSH_PLANES})) AS i)
+),
+buckets AS (
+  SELECT e.vec_id, planes.t,
+         CAST(sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN CAST(pow(2, planes.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM e, planes GROUP BY e.vec_id, planes.t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {TOPK_QUERY_MAX_ID} AND cb.vec_id <> qb.vec_id
+),
+s AS (
+  SELECT query_id, c.vec_id, {_COS.format(a='qe', b='ce')} AS cosine
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM s)
+WHERE rk <= {TOPK_K}
+"""
+
+    sql["ann_ivf_topk"] = f"""
+WITH {_E_CTE},
+h AS (
+  SELECT vec_id, v,
+         CAST(('0x' || substring(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hk
+  FROM e
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS centroid_id,
+         v AS cvec
+  FROM (SELECT * FROM h ORDER BY hk, vec_id LIMIT {IVF_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e, cent c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cvec)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e q, cent c WHERE q.vec_id < {TOPK_QUERY_MAX_ID})
+  WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+s AS (
+  SELECT query_id, c.vec_id, {_COS.format(a='qe', b='ce')} AS cosine
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM s)
+WHERE rk <= {TOPK_K}
+"""
+
+    sql["probe_metadata"] = f"""
+WITH {_LINES_CTE},
+turns AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // {LINES_PER_TURN} AS INT) AS turn_idx,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM lines GROUP BY doc_id, line_idx // {LINES_PER_TURN}
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+       CAST(length(text) AS INT) AS n_chars,
+       round(length(text) * 1.0 / len(string_split(text, chr(10))), 6) AS density,
+       round(length(text) * 1.0 / len(string_split(text, chr(10))), 6)
+         < {PROBE_DENSITY_MIN} AS needs_enhancement,
+       'none' AS tool_name,
+       '2025-01-01 00:00:00' AS ts_s
+FROM turns
+"""
+
+    # extract_spans*, page_diags, multimodal: rows-only by design (the
+    # kernel's gate is the fixture-equality pytest suite; multimodal
+    # decode is stubbed pending image/audio libs)
     return sql

@@ -817,7 +817,12 @@ def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
         # past each line's end) — no per-line encodes, no global grid
         blk = raw[lids.start : lids.stop]
         grid = blk.astype(f"U{w}").view(np.uint32).reshape(len(blk), w)
-        profile = ((grid != 32) & (grid != 0)).sum(axis=0)
+        # padding past each line's end is masked by LENGTH, not by code
+        # 0 — a literal NUL character inside text is ink (matches the
+        # oracle's `ch != ' '` and the non-contiguous fallback)
+        lens = rlen[lids.start : lids.stop]
+        valid = np.arange(w, dtype=np.int64)[None, :] < lens[:, None]
+        profile = ((grid != 32) & valid).sum(axis=0)
     else:
         profile = np.zeros(w, dtype=np.int64)
         for i in lids:

@@ -75,16 +75,33 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 # 2. n-gram Jaccard near-dup (shingle join)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.7
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets, via a shingle equi-join.
 
     Shuffle pattern: one exchange on `shingle`, one agg on (a,b).
-    A hot shingle ("the quick brown" everywhere) creates skew — at
-    scale, drop top-frequency shingles first (stopword-shingle filter),
-    which is also standard practice for quality.
+    A hot shingle ("the quick brown" everywhere) creates skew: a
+    shingle shared by d docs yields d^2 join rows. ``max_doc_freq``
+    drops shingles appearing in more than that many documents BEFORE
+    sizes and the join (the standard stopword-shingle filter), so the
+    worst-case join fan-out is bounded by max_doc_freq^2 per shingle.
+    Jaccard is then computed over the capped shingle universe — the
+    DuckDB oracle mirrors the same cap. Pass None for the exact
+    uncapped semantics at small scale.
     """
     sh = word_shingles(df, text_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -182,16 +199,18 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to the candidate pairs:
     # the shingle self-join runs only over docs that appear in some
     # candidate (semi-joined), so verification cost scales with LSH
-    # bucket collisions, never with corpus^2. Candidate pair sets are
-    # small by construction -> broadcast both the pair list and sizes.
+    # bucket collisions, never with corpus^2. No forced broadcast of
+    # the candidate set: on a near-dup-heavy corpus a hot band makes
+    # candidates unbounded, so AQE decides broadcast-vs-shuffle from
+    # the measured size at runtime.
     sh = word_shingles(df, text_col, k)
     docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    sh_a = sh.join(F.broadcast(docs_a), "doc_id")
-    sh_b = sh.join(F.broadcast(docs_b), "doc_id")
+    sh_a = sh.join(docs_a, "doc_id")
+    sh_b = sh.join(docs_b, "doc_id")
     inter = (
         sh_a.alias("a")
-        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+        .join(cand, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             sh_b.alias("b"),
             (F.col("b.doc_id") == F.col("doc_b"))
@@ -249,13 +268,24 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) ->
 
 
 def simhash_hamming_pairs(
-    df: DataFrame, text_col: str = "text", max_distance: int = 8
+    df: DataFrame, text_col: str = "text", max_distance: int = 8,
+    min_tokens: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, LSH-bucketed by
     16-bit bands (a pair within distance d collides in >= 1 of 4 bands
     when d <= 3 per band). Exactness at small scale is preserved by
-    verifying the true distance after the band join."""
-    sig = simhash_signatures(df, text_col)
+    verifying the true distance after the band join.
+
+    ``min_tokens`` excludes near-empty documents from banding: their
+    vote sums hover near zero, so they pile into one degenerate
+    signature bucket whose self-join is quadratic at corpus scale —
+    and a <3-token doc can't be a *meaningful* near-dup anyway. The
+    DuckDB oracle mirrors the same filter."""
+    toks = F.split(F.col(text_col), r"\s+")
+    eligible = df.filter(
+        F.size(F.filter(toks, lambda t: F.length(t) > 0)) >= min_tokens
+    )
+    sig = simhash_signatures(eligible, text_col)
     sigl = sig.select("doc_id", F.col("simhash").alias("s"))
     bandcols = [
         F.shiftright(F.col("s"), 16 * b).bitwiseAND(F.lit(65535)).alias(f"band{b}")

@@ -92,11 +92,26 @@ PAGE_SCHEMA = StructType(
 _MODEL_CACHE: dict = {}
 
 
+def _bc_key(bc_cfg):
+    """Stable cache key for a broadcast config, resolved on the DRIVER
+    (the worker-side Broadcast object has no id): the JVM broadcast id
+    is unique per broadcast for the app's lifetime. id(bc) would be
+    unsafe — CPython reuses addresses after GC, which could serve a
+    stale model for a different config on a long-lived executor."""
+    if bc_cfg is None:
+        return None
+    try:
+        return ("bc", int(bc_cfg._jbroadcast.id()))
+    except Exception:  # non-JVM stub (tests) — fall back to the object
+        return ("obj", id(bc_cfg), getattr(bc_cfg, "id", None))
+
+
 def _kernel_iter(bc_cfg, metrics=None):
+    key = _bc_key(bc_cfg)  # captured in the task closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from eynollah_spark.kernel.textpage import LineModel, analyze_turns_batch
 
-        key = id(bc_cfg)
         model = _MODEL_CACHE.get(key)
         if model is None:
             model = LineModel(bc_cfg.value if bc_cfg is not None else DEFAULT_CONFIG)
@@ -113,10 +128,11 @@ def _kernel_iter(bc_cfg, metrics=None):
 
 
 def _diag_iter(bc_cfg):
+    key = _bc_key(bc_cfg)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from eynollah_spark.kernel.textpage import LineModel, page_diags_batch
 
-        key = id(bc_cfg)
         model = _MODEL_CACHE.get(key)
         if model is None:
             model = LineModel(bc_cfg.value if bc_cfg is not None else DEFAULT_CONFIG)
@@ -194,6 +210,32 @@ def extract_spans_salted(
     )
     salted = salted.repartition(F.col("conv_id"), F.col("_salt")).drop("_salt")
     return with_order_and_ids(raw_spans(salted, cfg, metrics))
+
+
+def probe_turn_metadata(turns: DataFrame, density_min: float = 30.0) -> DataFrame:
+    """S2: the check_dpi / metadata-probe analog
+    (reference utils/pil_cv2.py:17-34 + the enhancement gate of
+    eynollah.py:381-450): probe each page's metadata BEFORE the kernel
+    — line count, char count, ink density (chars per line, the DPI
+    analog), defaulted tool/ts columns — and flag low-density pages
+    for the enhancement pre-pass, exactly like pages under
+    DPI_THRESHOLD=298 (eynollah.py:80) get run_enhancement.
+
+    Pure Catalyst column expressions; narrow (no shuffle)."""
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    n_chars = F.length("text")
+    density = F.round(n_chars / n_lines, 6)
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        n_lines.cast("int").alias("n_lines"),
+        n_chars.cast("int").alias("n_chars"),
+        density.alias("density"),
+        (density < density_min).alias("needs_enhancement"),
+        F.coalesce(F.col("tool"), F.lit("none")).alias("tool_name"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
 
 
 def analyze_pages(turns: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:

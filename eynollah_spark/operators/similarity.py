@@ -121,6 +121,37 @@ def lsh_topk(
     """
     table_ids = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
 
+    def table_plane(i: int):
+        """Hyperplane for table-namespaced plane index tbl*n_planes+i.
+
+        NOTE: the transform lambda must take exactly ONE parameter —
+        F.transform passes the element index as a second argument to a
+        two-arg callable, which would silently shadow ``i``."""
+
+        def component(j):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("plane"),
+                                (F.col("tbl") * n_planes + F.lit(i)).cast("string"),
+                                F.lit(":"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**8))
+                - 0.5
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+
     def with_buckets(df, idc, vecc, out_id, out_vec):
         base = df.select(
             F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), table_ids
@@ -128,32 +159,7 @@ def lsh_topk(
         bucket = None
         for i in range(n_planes):
             # plane index namespaced by table: planes (tbl*n_planes + i)
-            d = _dot(
-                F.col(out_vec),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j, i=i: (
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit("plane"),
-                                        (F.col("tbl") * n_planes + F.lit(i)).cast("string"),
-                                        F.lit(":"),
-                                        j.cast("string"),
-                                    )
-                                ),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("double")
-                        / F.lit(float(16**8))
-                        - 0.5
-                    ),
-                ),
-            )
+            d = _dot(F.col(out_vec), table_plane(i))
             bit = F.when(d > 0, F.lit(2**i)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         return base.withColumn("bucket", bucket)
@@ -258,16 +264,29 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
 
-    pick = Window.orderBy(
-        F.conv(F.substring(F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 15), 16, 10)
-        .cast("bigint")
-        .asc(),
-        F.col("vec_id").asc(),
+    # Centroid pick: the n_centroids corpus vectors with the smallest
+    # md5-derived rank. orderBy().limit(n) compiles to
+    # TakeOrderedAndProject — per-partition top-n merged at the driver,
+    # NOT a global sort (the plan test asserts this), so the pick
+    # scales with partitions. Only the tiny n-row result is then
+    # window-ranked to assign dense centroid ids.
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
     )
-    centroids = (
-        c.withColumn("rk", F.row_number().over(pick))
-        .filter(F.col("rk") <= n_centroids)
-        .select((F.col("rk") - 1).alias("centroid_id"), F.col("vec").alias("cvec"))
+    picked = (
+        c.select("vec_id", "vec", hcol.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(n_centroids)
+    )
+    centroids = picked.select(
+        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
     )
 
     assigned = ivf_assign(c, centroids, "vec")

@@ -110,14 +110,22 @@ def _session_fn(
     (user_id,) = key
     if state.hasTimedOut:
         seq, n, vs, last = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {"user_id": [user_id], "session_seq": [seq], "n_events": [n],
-             "session_value": [round(vs, 6)]}
-        )
+        # Keep the NEXT session's seq in state instead of remove():
+        # a removed state would restart the user at seq 1 and re-emit
+        # already-used (user_id, session_seq) keys. The dormant state
+        # (4 scalars) is bounded by distinct users; no timeout is
+        # re-armed, so it stays put until the user's next event.
+        state.update((seq + 1, 0, 0.0, None))
+        if n > 0:
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_seq": [seq], "n_events": [n],
+                 "session_value": [round(vs, 6)]}
+            )
         return
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    seq, n, vs, last = state.get if state.exists else (0, 0, 0.0, None)
+    # seq starts at 1 — key-compatible with the batch sessionizer
+    # (operators/relational.py events_sessionize, 1-based session_seq)
+    seq, n, vs, last = state.get if state.exists else (1, 0, 0.0, None)
     out = {"user_id": [], "session_seq": [], "n_events": [], "session_value": []}
     for ts, val in zip(rows["ts"], rows["value"]):
         t = int(ts.timestamp())
@@ -128,7 +136,7 @@ def _session_fn(
             out["session_value"].append(round(vs, 6))
             seq, n, vs = seq + 1, 0, 0.0
         elif last is None:
-            pass  # first ever event opens session 0 implicitly
+            pass  # first event of a (re)opened session; seq already set
         n += 1
         vs += float(val)
         last = t
@@ -163,7 +171,13 @@ def stream_extract_spans(
     windows run per micro-batch, so a conversation split across
     micro-batches keeps per-turn spans correct (reading_order is then
     per-batch; continuous global order is the batch job's domain —
-    streaming here is the ingest/triage surface)."""
+    streaming here is the ingest/triage surface).
+
+    The sink is idempotent per batch_id: each micro-batch overwrites
+    its own ``_batch_id=`` partition (dynamic partition overwrite), so
+    a batch retried after a partial write replaces, not duplicates —
+    exactly-once at the sink given foreachBatch's at-least-once
+    redelivery."""
     from eynollah_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA
     from eynollah_spark.operators.extract import extract_spans
 
@@ -174,7 +188,14 @@ def stream_extract_spans(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        extract_spans(batch_df).write.mode("append").parquet(out_dir)
+        (
+            extract_spans(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         src.writeStream.foreachBatch(sink)

@@ -212,6 +212,39 @@ def test_adversarial_turns_match_oracle(spark):
         assert have == want, f"turn {turn_idx} ({role!r}): {have[:3]} != {want[:3]}"
 
 
+def test_model_cache_keyed_by_broadcast_id():
+    """Two different broadcast configs on the same executor must get two
+    distinct cached models, keyed by the broadcast's stable .id (NOT
+    id(bc): CPython address reuse after GC could alias two configs)."""
+    from eynollah_spark.config import DEFAULT_CONFIG, ExtractConfig
+    from eynollah_spark.operators import extract as ex
+
+    class FakeBC:
+        def __init__(self, bid, value):
+            self.id = bid
+            self.value = value
+
+    ex._MODEL_CACHE.clear()
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["intro text line\n| a | b |\n---\n| c | d |"],
+        }
+    )
+    bc_a = FakeBC(101, DEFAULT_CONFIG)
+    bc_b = FakeBC(102, ExtractConfig(enable_tables=True))
+    out_plain = pd.concat(list(ex._kernel_iter(bc_a)(iter([pdf]))))
+    out_tables = pd.concat(list(ex._kernel_iter(bc_b)(iter([pdf]))))
+    assert ex._bc_key(bc_a) != ex._bc_key(bc_b)
+    assert len(ex._MODEL_CACHE) == 2
+    cfgs = [m.cfg for m in ex._MODEL_CACHE.values()]
+    assert any(c.enable_tables for c in cfgs) and any(not c.enable_tables for c in cfgs)
+    assert "table" not in set(out_plain["region_type"])
+    assert "table" in set(out_tables["region_type"])
+
+
 def test_mega_conversation_skew(spark):
     """One pathological 20k-turn conversation among normal ones (the
     north-rule skew case): the salted path must spread it across

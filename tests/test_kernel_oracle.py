@@ -82,7 +82,10 @@ def test_corpus_diag_agreement(seed):
 
 
 _token = st.sampled_from(
-    list("abcXYZ 019#*-=_[]:()`—–…©") + ["```", "[note:", "===", "(c)", "## "]
+    # \x00/\x0b/\x1c probe padding-vs-ink and Python-vs-Arrow
+    # whitespace parity (a NUL in a gutter must count as ink)
+    list("abcXYZ 019#*-=_[]:()`—–…©\x00\x0b\x1c")
+    + ["```", "[note:", "===", "(c)", "## "]
 )
 _line = st.lists(_token, min_size=0, max_size=12).map("".join)
 
@@ -105,6 +108,20 @@ def test_patch_stitching_equals_whole():
     s = pd.Series(big.split("\n")).str.strip()
     assert (model.classify_patched(s) == model.classify_stripped(s)).all()
     assert len(s) > DEFAULT_CONFIG.patch_lines * 2
+
+
+def test_nul_in_gutter_counts_as_ink():
+    """A NUL character inside a would-be gutter is ink (it is not
+    whitespace): the block must NOT split into columns, in both
+    implementations. Regression: the kernel's UTF-32 grid used code 0
+    both for padding and for literal NULs."""
+    text = "\n".join(["one \x00 two"] * 3)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    # single text region, one span per line, no column split
+    assert {g[2] for g in got} == {0}
+    assert [g[5] for g in got] == ["one \x00 two"] * 3
 
 
 def test_empty_and_degenerate():

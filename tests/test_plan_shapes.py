@@ -68,6 +68,17 @@ def test_anti_join_is_broadcast(spark):
     assert "LeftAnti" in plan and "Broadcast" in plan, plan
 
 
+def test_ivf_centroid_pick_is_distributed(spark):
+    """IVF ANN: the centroid pick must compile to TakeOrderedAndProject
+    (per-partition top-n merged at the driver), NOT a global
+    single-partition window sort over the corpus."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["ann_ivf_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_topk_no_corpus_shuffle_before_scoring(spark):
     """Brute-force ANN: query set broadcast; the only exchange is the
     per-query window for top-k ranking."""
