@@ -35,9 +35,21 @@ class ExtractConfig:
     # eynollah.py:688-697).
     border_scan_lines: int = 3
 
-    # --- column detection (find_num_col analog, utils/__init__.py:363-532) ---
-    gutter_sigma: float = 2.0          # gaussian_filter1d sigma over the ink profile
-    gutter_rel_depth: float = 0.10     # valley must be < 10% of profile max
+    # --- column detection (find_num_col analog, utils/__init__.py:363-532;
+    # smoothing + valley machinery: utils/__init__.py:377-383,443-503 and
+    # separate_lines.py:57-103) ---
+    # gaussian_filter1d sigma over the ink profile. Weights are
+    # integerized (round(1e6 * exp(-k^2/2s^2)), radius int(3s+0.5)) so
+    # both implementations smooth in exact integer arithmetic.
+    gutter_sigma: float = 1.0
+    # valley depth: a gutter run qualifies only if its minimum smoothed
+    # ink is <= this fraction of the smoothed profile's max (the
+    # find_peaks prominence analog)
+    gutter_rel_depth: float = 0.20
+    # a gutter run may cross positions inked by at most this many lines
+    # (stray-character tolerance: 1-2 stray chars no longer kill a wide
+    # gutter); every run must still contain >= 1 truly blank column
+    gutter_max_stray_lines: int = 1
     gutter_min_frac: float = 0.15      # gutters only in [15%, 85%] of width
     gutter_max_frac: float = 0.85
     min_block_lines: int = 3           # blocks shorter than this are single-column

@@ -802,6 +802,88 @@ def _emit_page(
     return diag_or_spans(spans, len(final_regions), max_cols, slope)
 
 
+# integerized gaussian weights per sigma (shared by spec with the
+# oracle: radius int(3s+0.5), w[k] = round(1e6 * exp(-k^2 / 2s^2)))
+_GAUSS_CACHE: dict = {}
+
+
+def _gauss_weights(sigma: float):
+    got = _GAUSS_CACHE.get(sigma)
+    if got is None:
+        import math
+
+        r = int(3.0 * sigma + 0.5)
+        got = (
+            r,
+            [
+                round(1_000_000 * math.exp(-(k * k) / (2.0 * sigma * sigma)))
+                for k in range(-r, r + 1)
+            ],
+        )
+        _GAUSS_CACHE[sigma] = got
+    return got
+
+
+def _smooth_profile(profile: np.ndarray, sigma: float) -> np.ndarray:
+    """Integer gaussian smoothing (gaussian_filter1d analog,
+    utils/__init__.py:377-383): zero-padded convolution with the
+    integerized kernel — exact arithmetic, so the naive oracle's loop
+    produces bit-identical values."""
+    r, wts = _gauss_weights(sigma)
+    w = len(profile)
+    sm = np.zeros(w, dtype=np.int64)
+    for k in range(-r, r + 1):
+        wt = wts[k + r]
+        if k == 0:
+            sm += wt * profile
+        elif k > 0:
+            if k < w:
+                sm[: w - k] += wt * profile[k:]
+        else:
+            if -k < w:
+                sm[-k:] += wt * profile[: w + k]
+    return sm
+
+
+def _select_gutters(profile: np.ndarray, cfg: ExtractConfig):
+    """SPEC §6 valley machinery over an ink profile: smoothed
+    relative-depth valleys with stray tolerance and deepest-first
+    suppression (find_num_col + find_peaks analog,
+    utils/__init__.py:443-503, separate_lines.py:57-103)."""
+    w = len(profile)
+    zero = profile == 0
+    if not zero.any():
+        return []
+    sm = _smooth_profile(profile, cfg.gutter_sigma)
+    max_s = int(sm.max())
+    if max_s == 0:
+        return []
+    rel_pct = int(round(cfg.gutter_rel_depth * 100))
+    candidate = profile <= cfg.gutter_max_stray_lines
+    d = np.diff(np.concatenate(([0], candidate.view(np.int8), [0])))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1) - 1
+    kept = []
+    for a, b in zip(starts, ends):
+        if b - a + 1 < 2:
+            continue
+        if not zero[a : b + 1].any():
+            continue  # no truly blank column anchors the run
+        depth = int(sm[a : b + 1].min())
+        if depth * 100 > rel_pct * max_s:
+            continue  # valley not deep enough relative to the peak
+        center = (a + b) // 2
+        if not (cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w):
+            continue
+        kept.append((depth, int(a), int(b)))
+    # W6 suppression: keep the deepest max_columns-1 valleys, then
+    # restore positional order
+    kept.sort()
+    kept = kept[: cfg.max_columns - 1]
+    kept.sort(key=lambda t: t[1])
+    return [(a, b) for _, a, b in kept]
+
+
 def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
     """SPEC §6 gutters, numpy ink profile over the block."""
     contiguous = isinstance(lids, range) and lids.step == 1
@@ -833,17 +915,4 @@ def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):
                 a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
             if len(a):
                 profile[: len(a)] += a != 32
-    zero = profile == 0
-    if not zero.any():
-        return []
-    # maximal zero runs
-    d = np.diff(np.concatenate(([0], zero.view(np.int8), [0])))
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1) - 1
-    kept = []
-    for a, b in zip(starts, ends):
-        if b - a + 1 >= 2:
-            center = (a + b) // 2
-            if cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w:
-                kept.append((int(a), int(b)))
-    return kept[: cfg.max_columns - 1]
+    return _select_gutters(profile, cfg)

@@ -374,9 +374,34 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
     return spans_out, diag
 
 
+def _smooth_profile_naive(profile: list[int], sigma: float) -> list[int]:
+    """SPEC §6 integer gaussian smoothing, naive loop form: radius
+    int(3s+0.5), weights round(1e6*exp(-k^2/2s^2)), zero padding."""
+    import math
+
+    r = int(3.0 * sigma + 0.5)
+    wts = [
+        round(1_000_000 * math.exp(-(k * k) / (2.0 * sigma * sigma)))
+        for k in range(-r, r + 1)
+    ]
+    w = len(profile)
+    out = [0] * w
+    for p in range(w):
+        s = 0
+        for k in range(-r, r + 1):
+            q = p + k
+            if 0 <= q < w:
+                s += wts[k + r] * profile[q]
+        out[p] = s
+    return out
+
+
 def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int, int]]:
-    """SPEC §6: maximal zero-ink runs of width >= 2 with center inside
-    [0.15W, 0.85W]; at most max_columns-1 leftmost kept."""
+    """SPEC §6 valley machinery: candidate runs of positions inked by
+    <= gutter_max_stray_lines lines (anchored by >= 1 truly blank
+    column), width >= 2, center inside [0.15W, 0.85W], whose minimum
+    smoothed ink is <= gutter_rel_depth of the smoothed max; the
+    deepest max_columns-1 runs are kept, in positional order."""
     w = max(len(ln) for ln in block)
     if w == 0:
         return []
@@ -385,12 +410,19 @@ def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int,
         for p, ch in enumerate(ln):
             if ch != " ":
                 profile[p] += 1
+    if not any(v == 0 for v in profile):
+        return []
+    sm = _smooth_profile_naive(profile, cfg.gutter_sigma)
+    max_s = max(sm)
+    if max_s == 0:
+        return []
+    rel_pct = int(round(cfg.gutter_rel_depth * 100))
     runs = []
     p = 0
     while p < w:
-        if profile[p] == 0:
+        if profile[p] <= cfg.gutter_max_stray_lines:
             q = p
-            while q + 1 < w and profile[q + 1] == 0:
+            while q + 1 < w and profile[q + 1] <= cfg.gutter_max_stray_lines:
                 q += 1
             runs.append((p, q))
             p = q + 1
@@ -398,11 +430,21 @@ def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int,
             p += 1
     kept = []
     for a, b in runs:
-        if b - a + 1 >= 2:
-            center = (a + b) // 2
-            if cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w:
-                kept.append((a, b))
-    return kept[: cfg.max_columns - 1]
+        if b - a + 1 < 2:
+            continue
+        if not any(profile[p] == 0 for p in range(a, b + 1)):
+            continue
+        depth = min(sm[p] for p in range(a, b + 1))
+        if depth * 100 > rel_pct * max_s:
+            continue
+        center = (a + b) // 2
+        if not (cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w):
+            continue
+        kept.append((depth, a, b))
+    kept.sort()
+    kept = kept[: cfg.max_columns - 1]
+    kept.sort(key=lambda t: t[1])
+    return [(a, b) for _, a, b in kept]
 
 
 def analyze_turn_naive(

@@ -110,6 +110,43 @@ def test_patch_stitching_equals_whole():
     assert len(s) > DEFAULT_CONFIG.patch_lines * 2
 
 
+def test_smoothed_gutter_survives_stray_chars():
+    """A3/W6 fidelity: a WIDE column gap containing one stray character
+    must still split (the smoothed relative-depth valley survives what
+    the old exact-zero-run rule could not)."""
+    left, right = "aaaaaaaaaa", "bbbbbbbbbb"
+    clean = left + " " * 12 + right
+    stray = left + " " * 5 + "." + " " * 6 + right
+    text = "\n".join([clean, stray, clean, clean])
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    # two column regions, column-major; the stray '.' is gutter noise
+    assert {g[2] for g in got} == {0, 1}
+    texts = [g[5] for g in got]
+    assert texts == [left] * 4 + [right] * 4
+    assert "." not in "".join(texts)
+
+
+def test_narrow_pure_gutter_still_splits():
+    """Legacy behavior preserved: a 3-wide all-blank gutter splits."""
+    text = "\n".join(["aaaaaaaaaa   bbbbbbbbbb"] * 3)
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+    assert {g[2] for g in got} == {0, 1}
+
+
+def test_stray_in_narrow_gutter_blocks_split():
+    """A stray char inside a NARROW gutter keeps the block single-column
+    (the valley is no longer deep enough relative to the peak)."""
+    rows = ["aaaaaaaaaa   bbbbbbbbbb"] * 3
+    rows[1] = "aaaaaaaaaa . bbbbbbbbbb"
+    text = "\n".join(rows)
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+    assert {g[2] for g in got} == {0}
+
+
 def test_nul_in_gutter_counts_as_ink():
     """A NUL character inside a would-be gutter is ink (it is not
     whitespace): the block must NOT split into columns, in both
