@@ -676,15 +676,18 @@ def _emit_page(
             )
         return spans
 
-    # §6 column split + span materialization
-    out_regions = []  # (rtype, band, first_line, col_idx, [(cs, ce, text)])
+    # §6 column split + span materialization. Span tuples carry their
+    # within-line column range (col_a, col_b) for the §9 overlap-argmax
+    # adherence; emission drops the extra fields.
+    out_regions = []  # (rtype, band, first_line, col_idx, [(cs, ce, text, col_a, col_b)])
     max_cols = 1
     sx: list[int] = []
     sy: list[int] = []
 
     def strip_span(i):
         cs = int(lstart[i] + lead[i])
-        return (cs, cs + int(slen[i]), strp[i])
+        ca = int(lead[i])
+        return (cs, cs + int(slen[i]), strp[i], ca, ca + int(slen[i]))
 
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
@@ -712,7 +715,7 @@ def _emit_page(
                             continue
                         pl = len(piece) - len(piece.lstrip())
                         cs = int(lstart[i]) + a + pl
-                        col_spans.append((cs, cs + len(s), s))
+                        col_spans.append((cs, cs + len(s), s, a + pl, a + pl + len(s)))
                     if col_spans:
                         out_regions.append([RT_TEXT, rband, rfirst, col, col_spans])
                 continue
@@ -755,9 +758,12 @@ def _emit_page(
             and out_regions[i + 1][4]
         ):
             tgt = out_regions[i + 1]
-            dcs, _, dtext = r[4][0]
-            fcs, fce, ftext = tgt[4][0]
-            tgt[4][0] = (dcs, fce, dtext + ftext)
+            dcs = r[4][0][0]
+            dtext = r[4][0][2]
+            fcs, fce, ftext, fca, fcb = tgt[4][0]
+            # merged span keeps the TARGET's column range (col ranges
+            # are per-line; the dropcap sits on its own line)
+            tgt[4][0] = (dcs, fce, dtext + ftext, fca, fcb)
             merged.append(tgt)
             i += 2
             continue
@@ -766,39 +772,55 @@ def _emit_page(
         merged.append(r)
         i += 1
 
-    # §9 small-fragment adherence
+    # §9 small-fragment adherence: overlap-argmax (the pairwise
+    # small-x-big overlap matrix of utils/__init__.py:923-948 in 1-D) —
+    # each fragment merges into the big span with maximal column
+    # overlap; ties break to the index-nearest, then earliest, big.
     final_regions = []
     for r in merged:
         if r[0] != RT_TEXT:
             final_regions.append(r)
             continue
-        result = []
-        pending = []
-        for sp in r[4]:
-            if len(sp[2]) <= cfg.small_fragment_max_len:
-                if result:
-                    prev = result[-1]
-                    result[-1] = (prev[0], sp[1], prev[2] + " " + sp[2])
-                else:
-                    pending.append(sp)
-            else:
-                if pending:
-                    pre = " ".join(p[2] for p in pending)
-                    result.append((pending[0][0], sp[1], pre + " " + sp[2]))
-                    pending = []
-                else:
-                    result.append(sp)
-        if not result and pending:
-            result = pending
-        r[4] = result
-        if result:
-            final_regions.append(r)
+        spans_r = r[4]
+        bigs = [
+            j for j, sp in enumerate(spans_r)
+            if len(sp[2]) > cfg.small_fragment_max_len
+        ]
+        if not bigs:
+            if spans_r:
+                final_regions.append(r)
+            continue
+        pre = {j: [] for j in bigs}
+        suf = {j: [] for j in bigs}
+        for j, sp in enumerate(spans_r):
+            if len(sp[2]) > cfg.small_fragment_max_len:
+                continue
+            best, bo, bd = bigs[0], -1, None
+            for i in bigs:
+                b = spans_r[i]
+                ov = max(0, min(sp[4], b[4]) - max(sp[3], b[3]))
+                dist = abs(j - i)
+                if ov > bo or (ov == bo and dist < bd):
+                    best, bo, bd = i, ov, dist
+            (pre if j < best else suf)[best].append(sp)
+        out_spans = []
+        for i in bigs:
+            cs, ce, text, ca, cb = spans_r[i]
+            if pre[i]:
+                text = " ".join(p[2] for p in pre[i]) + " " + text
+                cs = pre[i][0][0]
+            if suf[i]:
+                text = text + " " + " ".join(p[2] for p in suf[i])
+                ce = suf[i][-1][1]
+            out_spans.append((cs, ce, text, ca, cb))
+        r[4] = out_spans
+        final_regions.append(r)
 
     # §10 emission
     spans = []
     for rs, r in enumerate(final_regions):
-        for cs, ce, s in r[4]:
-            spans.append((len(spans), r[0], rs, cs, ce, s))
+        for sp in r[4]:
+            spans.append((len(spans), r[0], rs, sp[0], sp[1], sp[2]))
     return diag_or_spans(spans, len(final_regions), max_cols, slope)
 
 

@@ -110,7 +110,9 @@ class _Region:
     band: int
     first_line: int
     col_idx: int
-    spans: list[tuple[int, int, str]]  # (char_start, char_end, text)
+    # (char_start, char_end, text, col_a, col_b) — col range is the
+    # stripped text's position range within its own line (§9 overlap)
+    spans: list[tuple]
 
 
 def _analyze(text: str, role: str, cfg: ExtractConfig):
@@ -273,7 +275,7 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
                             continue
                         lead = len(piece) - len(piece.lstrip())
                         cs = starts[i] + a + lead
-                        col_spans.append((cs, cs + len(s), s))
+                        col_spans.append((cs, cs + len(s), s, a + lead, a + lead + len(s)))
                     if col_spans:
                         out_regions.append(
                             _Region(RT_TEXT, r.band, r.first_line, col, col_spans)
@@ -287,7 +289,8 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             for i in line_ids:
                 cs, ce, s = _stripped_offsets(lines[i], starts[i])
                 if s:
-                    spans.append((cs, ce, s))
+                    lead = len(lines[i]) - len(lines[i].lstrip())
+                    spans.append((cs, ce, s, lead, lead + len(s)))
             if spans:
                 out_regions.append(_Region(RT_TEXT, r.band, r.first_line, 0, spans))
         else:
@@ -295,7 +298,8 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             for i in line_ids:
                 cs, ce, s = _stripped_offsets(lines[i], starts[i])
                 if s:
-                    spans.append((cs, ce, s))
+                    lead = len(lines[i]) - len(lines[i].lstrip())
+                    spans.append((cs, ce, s, lead, lead + len(s)))
             if spans:
                 out_regions.append(_Region(r.rtype, r.band, r.first_line, 0, spans))
 
@@ -325,9 +329,11 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             and out_regions[i + 1].spans
         ):
             tgt = out_regions[i + 1]
-            dcs, _, dtext = r.spans[0]
+            dcs = r.spans[0][0]
+            dtext = r.spans[0][2]
             fs = tgt.spans[0]
-            tgt.spans[0] = (dcs, fs[1], dtext + fs[2])
+            # merged span keeps the TARGET's column range
+            tgt.spans[0] = (dcs, fs[1], dtext + fs[2], fs[3], fs[4])
             merged.append(tgt)
             i += 2
             continue
@@ -336,39 +342,55 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
         merged.append(r)
         i += 1
 
-    # §9 small-fragment adherence (text regions only)
+    # §9 small-fragment adherence (text regions only): overlap-argmax —
+    # each fragment merges into the big span with maximal column
+    # overlap (ties: index-nearest, then earliest), the 1-D form of the
+    # small-x-big overlap matrix at utils/__init__.py:923-948.
     final_regions: list[_Region] = []
     for r in merged:
         if r.rtype != RT_TEXT:
             final_regions.append(r)
             continue
-        result: list[tuple[int, int, str]] = []
-        pending: list[tuple[int, int, str]] = []
-        for sp in r.spans:
-            if len(sp[2]) <= cfg.small_fragment_max_len:
-                if result:
-                    prev = result[-1]
-                    result[-1] = (prev[0], sp[1], prev[2] + " " + sp[2])
-                else:
-                    pending.append(sp)
-            else:
-                if pending:
-                    pre = " ".join(p[2] for p in pending)
-                    result.append((pending[0][0], sp[1], pre + " " + sp[2]))
-                    pending = []
-                else:
-                    result.append(sp)
-        if not result and pending:
-            result = pending
-        r.spans = result
-        if result:
-            final_regions.append(r)
+        spans_r = r.spans
+        bigs = [
+            j for j, sp in enumerate(spans_r)
+            if len(sp[2]) > cfg.small_fragment_max_len
+        ]
+        if not bigs:
+            if spans_r:
+                final_regions.append(r)
+            continue
+        pre = {j: [] for j in bigs}
+        suf = {j: [] for j in bigs}
+        for j, sp in enumerate(spans_r):
+            if len(sp[2]) > cfg.small_fragment_max_len:
+                continue
+            best, bo, bd = bigs[0], -1, None
+            for i in bigs:
+                b = spans_r[i]
+                ov = max(0, min(sp[4], b[4]) - max(sp[3], b[3]))
+                dist = abs(j - i)
+                if ov > bo or (ov == bo and dist < bd):
+                    best, bo, bd = i, ov, dist
+            (pre if j < best else suf)[best].append(sp)
+        out_spans = []
+        for i in bigs:
+            cs, ce, text, ca, cb = spans_r[i]
+            if pre[i]:
+                text = " ".join(p[2] for p in pre[i]) + " " + text
+                cs = pre[i][0][0]
+            if suf[i]:
+                text = text + " " + " ".join(p[2] for p in suf[i])
+                ce = suf[i][-1][1]
+            out_spans.append((cs, ce, text, ca, cb))
+        r.spans = out_spans
+        final_regions.append(r)
 
     # §10 emission
     spans_out: list[Span] = []
     for rs, r in enumerate(final_regions):
-        for cs, ce, s in r.spans:
-            spans_out.append(Span(len(spans_out), r.rtype, rs, cs, ce, s))
+        for sp in r.spans:
+            spans_out.append(Span(len(spans_out), r.rtype, rs, sp[0], sp[1], sp[2]))
     diag["n_spans"] = len(spans_out)
     diag["n_regions"] = len(final_regions)
     return spans_out, diag

@@ -147,6 +147,38 @@ def test_stray_in_narrow_gutter_blocks_split():
     assert {g[2] for g in got} == {0}
 
 
+def test_fragment_adherence_overlap_argmax():
+    """J4 fidelity: an interleaved fragment merges into the big span
+    with maximal COLUMN overlap, not blindly into the previous span."""
+    lines = [
+        "a" * 30,                       # big1, cols [0, 30)
+        " " * 29 + "ok",                # fragment, cols [29, 31)
+        " " * 8 + "b" * 30,             # big2, cols [8, 38)
+    ]
+    text = "\n".join(lines)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    texts = [g[5] for g in got]
+    # overlap with big1 = 1, with big2 = 2 -> prefix onto big2
+    assert texts == ["a" * 30, "ok " + "b" * 30]
+    # char_start of the merged span is the fragment's start
+    assert got[1][3] == 31 + 29
+
+
+def test_fragment_adherence_plain_paragraph_keeps_nearest():
+    """Equal overlaps tie-break to the index-nearest big span, so a
+    trailing fragment still merges into the LAST line of a plain
+    paragraph (the old sequential behavior)."""
+    text = "\n".join(["first long line here", "second long line here", "ok"])
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+    assert [g[5] for g in got] == [
+        "first long line here",
+        "second long line here ok",
+    ]
+
+
 def test_nul_in_gutter_counts_as_ink():
     """A NUL character inside a would-be gutter is ink (it is not
     whitespace): the block must NOT split into columns, in both
