@@ -465,6 +465,19 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 & ~tool_page[r_page]
             )
             for r in eligible:
+                # deskew-eligible blocks (LS indent slope over the
+                # threshold) route to the per-page path, which runs
+                # the §6d shear grid
+                n_ = int(counts[r])
+                leads_r = lstr_len[starts[r] : starts[r] + n_]
+                k_ = np.arange(n_, dtype=np.int64)
+                sk = n_ * (n_ - 1) // 2
+                sk2 = (n_ - 1) * n_ * (2 * n_ - 1) // 6
+                A = n_ * int((k_ * leads_r).sum()) - sk * int(leads_r.sum())
+                Bd = n_ * sk2 - sk * sk
+                if Bd > 0 and abs(A) >= cfg.slope_threshold * Bd:
+                    complex_page[r_page[r]] = True
+                    continue
                 lids = range(int(starts[r]), int(starts[r] + counts[r]))
                 g = _find_gutters(lines_np, raw_len, lids, cfg)
                 gutter_cache[int(starts[r])] = g
@@ -691,7 +704,26 @@ def _emit_page(
 
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
-            if len(lids) < cfg.min_block_lines:
+            # §6d deskew: skewed blocks (LS indent slope over the
+            # threshold) grid-search a shear and run gutter detection
+            # in the sheared space (separate_lines.py:1605-1646 +
+            # rotation-before-reextraction, eynollah.py:2058)
+            shifts = None
+            sh_prof = None
+            if len(lids) >= cfg.min_block_lines:
+                A, B = _ls_slope_int([int(lead[i]) for i in lids])
+                if B > 0 and abs(A) >= cfg.slope_threshold * B:
+                    res = _choose_shear(
+                        [_ink_row(raw[i]) for i in lids],
+                        [int(rlen[i]) for i in lids],
+                        [int(lead[i]) for i in lids],
+                        cfg,
+                    )
+                    if res is not None:
+                        _s_star, shifts, sh_prof = res
+            if shifts is not None:
+                gutters = _select_gutters(sh_prof, cfg)
+            elif len(lids) < cfg.min_block_lines:
                 gutters = []
             elif gutter_cache is not None and rfirst in gutter_cache:
                 gutters = gutter_cache[rfirst]
@@ -699,7 +731,10 @@ def _emit_page(
                 gutters = _find_gutters(raw, rlen, lids, cfg)
             if gutters:
                 max_cols = max(max_cols, len(gutters) + 1)
-                w = int(max(rlen[i] for i in lids))
+                if shifts is not None:
+                    w = len(sh_prof)
+                else:
+                    w = int(max(rlen[i] for i in lids))
                 segs = []
                 prev = 0
                 for g0, g1 in gutters:
@@ -708,13 +743,14 @@ def _emit_page(
                 segs.append((prev, w))
                 for col, (a, b) in enumerate(segs):
                     col_spans = []
-                    for i in lids:
-                        piece = raw[i][a:b]
+                    for k, i in enumerate(lids):
+                        sh = shifts[k] if shifts is not None else 0
+                        piece = raw[i][a + sh : b + sh]
                         s = piece.strip()
                         if not s:
                             continue
                         pl = len(piece) - len(piece.lstrip())
-                        cs = int(lstart[i]) + a + pl
+                        cs = int(lstart[i]) + a + sh + pl
                         col_spans.append((cs, cs + len(s), s, a + pl, a + pl + len(s)))
                     if col_spans:
                         out_regions.append([RT_TEXT, rband, rfirst, col, col_spans])
@@ -904,6 +940,68 @@ def _select_gutters(profile: np.ndarray, cfg: ExtractConfig):
     kept = kept[: cfg.max_columns - 1]
     kept.sort(key=lambda t: t[1])
     return [(a, b) for _, a, b in kept]
+
+
+def _ls_slope_int(leads) -> tuple[int, int]:
+    """Least-squares slope of leading indent vs line index as an exact
+    integer fraction (numerator A, denominator B): slope = A/B.
+    cv2.fitLine analog (utils/__init__.py:331-332)."""
+    n = len(leads)
+    sk = n * (n - 1) // 2
+    sk2 = (n - 1) * n * (2 * n - 1) // 6
+    sy = 0
+    sky = 0
+    for k in range(n):
+        y = int(leads[k])
+        sy += y
+        sky += k * y
+    return n * sky - sk * sy, n * sk2 - sk * sk
+
+
+def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
+    """SPEC §6d deskew: shear-grid argmax (return_deskew_slop analog,
+    separate_lines.py:1605-1646, in 1-D). Candidates are the LS slope's
+    neighborhood plus 0; each candidate de-indents line k by
+    round(s*k) (normalized to min 0) and scores the sheared ink
+    profile's normalized variance (sharper columns = higher variance);
+    the first candidate with maximal score wins. Returns
+    (s_star, shifts, sheared_profile) when |s_star| >= slope_threshold,
+    else None."""
+    A, B = _ls_slope_int(leads)
+    if B <= 0 or abs(A) < cfg.slope_threshold * B:
+        return None
+    sls = A / B
+    n = len(ink_rows)
+    cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
+    best = None  # (score, wp, s, shifts, profile)
+    for s in cands:
+        raw_sh = [round(s * k) for k in range(n)]
+        m = min(raw_sh)
+        sh = [int(v - m) for v in raw_sh]
+        wp = max(int(lens[k]) - sh[k] for k in range(n))
+        if wp <= 0:
+            continue
+        prof = np.zeros(wp, dtype=np.int64)
+        for k in range(n):
+            row = ink_rows[k]
+            if sh[k] < len(row):
+                seg = row[sh[k] :]
+                prof[: len(seg)] += seg
+        sv = int(prof.sum())
+        sv2 = int((prof.astype(np.int64) * prof).sum())
+        score = wp * sv2 - sv * sv  # population variance * wp^2
+        if best is None or score * best[1] * best[1] > best[0] * wp * wp:
+            best = (score, wp, s, sh, prof)
+    if best is None or abs(best[2]) < cfg.slope_threshold:
+        return None
+    return best[2], best[3], best[4]
+
+
+def _ink_row(s: str) -> np.ndarray:
+    """Boolean ink mask of one raw line (char != ' '; NUL is ink)."""
+    if not s:
+        return np.zeros(0, dtype=bool)
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) != 32
 
 
 def _find_gutters(raw, rlen, lids, cfg: ExtractConfig):

@@ -256,10 +256,25 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
         line_ids = [t[0] for t in r.spans]
         if r.rtype == RT_TEXT:
             block = [lines[i] for i in line_ids]
-            gutters = _find_gutters_naive(block, cfg) if len(block) >= cfg.min_block_lines else []
+            # §6d deskew: shear-grid over skewed blocks, gutters in
+            # sheared space
+            shifts = None
+            sh_prof = None
+            if len(block) >= cfg.min_block_lines:
+                res = _choose_shear_naive(block, cfg)
+                if res is not None:
+                    _s_star, shifts, sh_prof = res
+            if shifts is not None:
+                gutters = _select_gutters_naive(sh_prof, cfg)
+            else:
+                gutters = (
+                    _find_gutters_naive(block, cfg)
+                    if len(block) >= cfg.min_block_lines
+                    else []
+                )
             if gutters:
                 diag["max_columns"] = max(diag["max_columns"], len(gutters) + 1)
-                w = max(len(ln) for ln in block)
+                w = len(sh_prof) if shifts is not None else max(len(ln) for ln in block)
                 bounds = [0]
                 segs = []
                 for g0, g1 in gutters:
@@ -268,13 +283,14 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
                 segs.append((bounds[-1], w))
                 for col, (a, b) in enumerate(segs):
                     col_spans = []
-                    for i in line_ids:
-                        piece = lines[i][a:b]
+                    for k, i in enumerate(line_ids):
+                        sh = shifts[k] if shifts is not None else 0
+                        piece = lines[i][a + sh : b + sh]
                         s = piece.strip()
                         if not s:
                             continue
                         lead = len(piece) - len(piece.lstrip())
-                        cs = starts[i] + a + lead
+                        cs = starts[i] + a + sh + lead
                         col_spans.append((cs, cs + len(s), s, a + lead, a + lead + len(s)))
                     if col_spans:
                         out_regions.append(
@@ -418,20 +434,13 @@ def _smooth_profile_naive(profile: list[int], sigma: float) -> list[int]:
     return out
 
 
-def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int, int]]:
-    """SPEC §6 valley machinery: candidate runs of positions inked by
-    <= gutter_max_stray_lines lines (anchored by >= 1 truly blank
-    column), width >= 2, center inside [0.15W, 0.85W], whose minimum
-    smoothed ink is <= gutter_rel_depth of the smoothed max; the
-    deepest max_columns-1 runs are kept, in positional order."""
-    w = max(len(ln) for ln in block)
-    if w == 0:
-        return []
-    profile = [0] * w
-    for ln in block:
-        for p, ch in enumerate(ln):
-            if ch != " ":
-                profile[p] += 1
+def _select_gutters_naive(profile: list[int], cfg: ExtractConfig) -> list[tuple[int, int]]:
+    """SPEC §6 valley machinery over an ink profile: candidate runs of
+    positions inked by <= gutter_max_stray_lines lines (anchored by
+    >= 1 truly blank column), width >= 2, center inside [0.15W, 0.85W],
+    whose minimum smoothed ink is <= gutter_rel_depth of the smoothed
+    max; the deepest max_columns-1 runs are kept, in positional order."""
+    w = len(profile)
     if not any(v == 0 for v in profile):
         return []
     sm = _smooth_profile_naive(profile, cfg.gutter_sigma)
@@ -467,6 +476,76 @@ def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int,
     kept = kept[: cfg.max_columns - 1]
     kept.sort(key=lambda t: t[1])
     return [(a, b) for _, a, b in kept]
+
+
+def _block_profile_naive(block: list[str]) -> list[int]:
+    w = max(len(ln) for ln in block)
+    profile = [0] * w
+    for ln in block:
+        for p, ch in enumerate(ln):
+            if ch != " ":
+                profile[p] += 1
+    return profile
+
+
+def _find_gutters_naive(block: list[str], cfg: ExtractConfig) -> list[tuple[int, int]]:
+    """SPEC §6: ink profile + valley selection."""
+    w = max(len(ln) for ln in block)
+    if w == 0:
+        return []
+    return _select_gutters_naive(_block_profile_naive(block), cfg)
+
+
+def _ls_slope_int_naive(leads: list[int]) -> tuple[int, int]:
+    """SPEC §6d: LS slope of indent vs line index as integers (A, B)."""
+    n = len(leads)
+    sk = n * (n - 1) // 2
+    sk2 = (n - 1) * n * (2 * n - 1) // 6
+    sy = 0
+    sky = 0
+    for k in range(n):
+        y = int(leads[k])
+        sy += y
+        sky += k * y
+    return n * sky - sk * sy, n * sk2 - sk * sk
+
+
+def _choose_shear_naive(block: list[str], cfg: ExtractConfig):
+    """SPEC §6d deskew shear grid, naive form: candidates are 0 plus
+    the LS slope's +-0.5/+-0.25 neighborhood; each candidate de-indents
+    line k by round(s*k) (normalized to min 0) and scores the sheared
+    ink profile's normalized population variance; first-maximal wins.
+    Returns (s_star, shifts, sheared_profile) when
+    |s_star| >= slope_threshold, else None."""
+    leads = [len(ln) - len(ln.lstrip()) for ln in block]
+    A, B = _ls_slope_int_naive(leads)
+    if B <= 0 or abs(A) < cfg.slope_threshold * B:
+        return None
+    sls = A / B
+    n = len(block)
+    cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
+    best = None  # (score, wp, s, shifts, profile)
+    for s in cands:
+        raw_sh = [round(s * k) for k in range(n)]
+        m = min(raw_sh)
+        sh = [int(v - m) for v in raw_sh]
+        wp = max(len(block[k]) - sh[k] for k in range(n))
+        if wp <= 0:
+            continue
+        prof = [0] * wp
+        for k in range(n):
+            ln = block[k]
+            for p in range(sh[k], len(ln)):
+                if ln[p] != " ":
+                    prof[p - sh[k]] += 1
+        sv = sum(prof)
+        sv2 = sum(v * v for v in prof)
+        score = wp * sv2 - sv * sv
+        if best is None or score * best[1] * best[1] > best[0] * wp * wp:
+            best = (score, wp, s, sh, prof)
+    if best is None or abs(best[2]) < cfg.slope_threshold:
+        return None
+    return best[2], best[3], best[4]
 
 
 def analyze_turn_naive(

@@ -179,6 +179,37 @@ def test_fragment_adherence_plain_paragraph_keeps_nearest():
     ]
 
 
+def test_deskew_recovers_staggered_columns():
+    """T6/F2 fidelity: a two-column block skewed by 1 char/line has no
+    raw-profile gutter (the gap staggers), but the shear grid de-indents
+    it and the sheared profile splits."""
+    body = "aaaaaaaaaa   bbbbbbbbbb"
+    lines = [" " * k + body for k in range(5)]
+    text = "\n".join(lines)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    texts = [g[5] for g in got]
+    assert texts == ["aaaaaaaaaa"] * 5 + ["bbbbbbbbbb"] * 5
+    # offsets still index the ORIGINAL skewed text: line k's left span
+    # starts at line_start + k
+    starts_ = [g[3] for g in got[:5]]
+    line_starts = [sum(len(l) + 1 for l in lines[:k]) for k in range(5)]
+    assert starts_ == [ls + k for k, ls in enumerate(line_starts)]
+
+
+def test_deskew_no_gutter_is_noop():
+    """A skewed single-column paragraph deskews, finds no gutters, and
+    emits exactly as if never sheared."""
+    lines = [" " * k + f"plain paragraph line number {k} with words" for k in range(4)]
+    text = "\n".join(lines)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    assert [g[5] for g in got] == [ln.strip() for ln in lines]
+    assert {g[2] for g in got} == {0}
+
+
 def test_nul_in_gutter_counts_as_ink():
     """A NUL character inside a would-be gutter is ink (it is not
     whitespace): the block must NOT split into columns, in both
