@@ -73,6 +73,13 @@ class ExtractConfig:
     # without a separator rule
     band_blank_gap: int = 2
 
+    # --- projection-based marginalia (utils/marginals.py:11-252) ---
+    # an OUTER emitted column of a split block is marginalia when it is
+    # narrow relative to the page (width <= frac * W), at most half as
+    # wide as the widest sibling column, and all its spans are short
+    marginalia_width_frac: float = 0.25
+    marginalia_max_len: int = 24
+
     # --- table mode (M10 analog, eynollah.py:1841-1941; gated like the
     # reference's -tab flag, cli.py) ---
     # off by default: the reference only detects tables when asked

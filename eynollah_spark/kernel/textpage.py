@@ -553,6 +553,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             cfg,
             want_diag,
             gutter_cache,
+            page_ctx=(int(offsets[t]), cls, active),
         )
         if want_diag:
             diag_rows.append(res)
@@ -671,15 +672,28 @@ _CODE_RT = {
 }
 
 
+def _col_of(p: int, gutters) -> int:
+    """Column index of raw position p given page gutters: the number
+    of gutters entirely to its left (SPEC §6p)."""
+    c = 0
+    for _g0, g1 in gutters:
+        if g1 < p:
+            c += 1
+    return c
+
+
 def _emit_page(
     regions, n, ratio, used_b,
     raw, strp, lstart, lead, slen, rlen,
     cfg: ExtractConfig, want_diag: bool, gutter_cache=None,
+    page_ctx=None,
 ):
     """SPEC §§6-10 for one page: column split, span materialization,
     reading order, drop-capital merge, small-fragment adherence,
     emission. ``regions`` is [[rtype, band, first_line, col, lids]] with
-    batch-global line indices into the per-line feature arrays."""
+    batch-global line indices into the per-line feature arrays.
+    ``page_ctx`` = (page_first_line, cls_array, active_array) enables
+    the §6p page-column band recompute."""
 
     def diag_or_spans(spans, n_regions, max_cols, slope):
         if want_diag:
@@ -688,6 +702,86 @@ def _emit_page(
                 bool(abs(slope) >= cfg.slope_threshold), ratio, used_b,
             )
         return spans
+
+    # --- §6 pre-pass: per-block deskew + gutters (memoized) ---------------
+    block_res = {}  # rfirst -> (shifts, sh_prof, gutters)
+    n_text_blocks = 0
+    for rtype, rband, rfirst, _c, lids in regions:
+        if rtype != RT_TEXT:
+            continue
+        n_text_blocks += 1
+        shifts = None
+        sh_prof = None
+        if len(lids) >= cfg.min_block_lines:
+            A, B = _ls_slope_int([int(lead[i]) for i in lids])
+            if B > 0 and abs(A) >= cfg.slope_threshold * B:
+                res = _choose_shear(
+                    [_ink_row(raw[i]) for i in lids],
+                    [int(rlen[i]) for i in lids],
+                    [int(lead[i]) for i in lids],
+                    cfg,
+                )
+                if res is not None:
+                    _s_star, shifts, sh_prof = res
+        if shifts is not None:
+            gutters = _select_gutters(sh_prof, cfg)
+        elif len(lids) < cfg.min_block_lines:
+            gutters = []
+        elif gutter_cache is not None and rfirst in gutter_cache:
+            gutters = gutter_cache[rfirst]
+        else:
+            gutters = _find_gutters(raw, rlen, lids, cfg)
+        block_res[rfirst] = (shifts, sh_prof, gutters)
+
+    # --- §6p page-column mode (return_boxes_of_images_by_order_of_
+    # reading_new analog, utils/__init__.py:1599-2255): when >= 2 text
+    # blocks exist and any block shows column structure, detect gutters
+    # over the UNION ink profile of all text-block lines; if found, the
+    # whole page splits by the page gutters and regions order
+    # column-major ACROSS bands. -------------------------------------------
+    page_gutters = None
+    page_w = 0
+    if n_text_blocks >= 2 and any(g for (_s, _p, g) in block_res.values()):
+        all_lids = [i for r in regions if r[0] == RT_TEXT for i in r[4]]
+        page_w = int(max(rlen[i] for i in all_lids)) if all_lids else 0
+        if page_w > 0:
+            prof = np.zeros(page_w, dtype=np.int64)
+            for i in all_lids:
+                row = _ink_row(raw[i])
+                if len(row):
+                    prof[: len(row)] += row
+            pg = _select_gutters(prof, cfg)
+            if pg:
+                page_gutters = pg
+
+    # §6p band recompute + column assignment: a separator contained in
+    # ONE column (mother/child containment, utils/__init__.py:213-297)
+    # no longer advances the global band counter; every region gets the
+    # column holding its first line's first ink
+    if page_gutters is not None and page_ctx is not None:
+        page_first, cls_arr, active_arr = page_ctx
+        band_line = [0] * n
+        band = 0
+        run = 0
+        for k in range(n):
+            i = page_first + k
+            band_line[k] = band
+            if not active_arr[i]:
+                continue  # border lines: outside the page walk
+            if cls_arr[i] == C_BLANK:
+                run += 1
+                if run == cfg.band_blank_gap:
+                    band += 1
+                continue
+            run = 0
+            if cls_arr[i] == C_SEP:
+                a = int(lead[i])
+                b = a + int(slen[i])
+                if b > a and _col_of(a, page_gutters) != _col_of(b - 1, page_gutters):
+                    band += 1
+        for r in regions:
+            r[1] = band_line[r[2] - page_first]
+            r[3] = _col_of(int(lead[r[2]]), page_gutters)
 
     # §6 column split + span materialization. Span tuples carry their
     # within-line column range (col_a, col_b) for the §9 overlap-argmax
@@ -704,34 +798,15 @@ def _emit_page(
 
     for rtype, rband, rfirst, _c, lids in regions:
         if rtype == RT_TEXT:
-            # §6d deskew: skewed blocks (LS indent slope over the
-            # threshold) grid-search a shear and run gutter detection
-            # in the sheared space (separate_lines.py:1605-1646 +
-            # rotation-before-reextraction, eynollah.py:2058)
-            shifts = None
-            sh_prof = None
-            if len(lids) >= cfg.min_block_lines:
-                A, B = _ls_slope_int([int(lead[i]) for i in lids])
-                if B > 0 and abs(A) >= cfg.slope_threshold * B:
-                    res = _choose_shear(
-                        [_ink_row(raw[i]) for i in lids],
-                        [int(rlen[i]) for i in lids],
-                        [int(lead[i]) for i in lids],
-                        cfg,
-                    )
-                    if res is not None:
-                        _s_star, shifts, sh_prof = res
-            if shifts is not None:
-                gutters = _select_gutters(sh_prof, cfg)
-            elif len(lids) < cfg.min_block_lines:
-                gutters = []
-            elif gutter_cache is not None and rfirst in gutter_cache:
-                gutters = gutter_cache[rfirst]
+            if page_gutters is not None:
+                shifts, sh_prof, gutters = None, None, page_gutters
             else:
-                gutters = _find_gutters(raw, rlen, lids, cfg)
+                shifts, sh_prof, gutters = block_res[rfirst]
             if gutters:
                 max_cols = max(max_cols, len(gutters) + 1)
-                if shifts is not None:
+                if page_gutters is not None:
+                    w = page_w
+                elif shifts is not None:
                     w = len(sh_prof)
                 else:
                     w = int(max(rlen[i] for i in lids))
@@ -741,6 +816,7 @@ def _emit_page(
                     segs.append((prev, g0))
                     prev = g1 + 1
                 segs.append((prev, w))
+                col_entries = []
                 for col, (a, b) in enumerate(segs):
                     col_spans = []
                     for k, i in enumerate(lids):
@@ -753,7 +829,31 @@ def _emit_page(
                         cs = int(lstart[i]) + a + sh + pl
                         col_spans.append((cs, cs + len(s), s, a + pl, a + pl + len(s)))
                     if col_spans:
-                        out_regions.append([RT_TEXT, rband, rfirst, col, col_spans])
+                        col_entries.append((col, a, b, col_spans))
+                # §6m projection-based marginalia (utils/marginals.py
+                # analog): a narrow, short-lined OUTER column is a
+                # marginalia region, not a text column
+                n_e = len(col_entries)
+                rel = round(cfg.marginalia_width_frac * 100)
+                for idx, (col, a, b, col_spans) in enumerate(col_entries):
+                    rt = RT_TEXT
+                    if n_e >= 2 and (idx == 0 or idx == n_e - 1):
+                        wd = b - a
+                        others = max(
+                            bb - aa
+                            for j, (_c, aa, bb, _s) in enumerate(col_entries)
+                            if j != idx
+                        )
+                        if (
+                            wd * 100 <= rel * w
+                            and 2 * wd <= others
+                            and all(
+                                len(sp[2]) <= cfg.marginalia_max_len
+                                for sp in col_spans
+                            )
+                        ):
+                            rt = RT_MARGINALIA
+                    out_regions.append([rt, rband, rfirst, col, col_spans])
                 continue
             for k, i in enumerate(lids):
                 sx.append(k)
@@ -764,7 +864,7 @@ def _emit_page(
         else:
             spans = [strip_span(i) for i in lids if slen[i] > 0]
             if spans:
-                out_regions.append([rtype, rband, rfirst, 0, spans])
+                out_regions.append([rtype, rband, rfirst, _c, spans])
 
     slope = 0.0
     if len(sx) >= 2:
@@ -777,9 +877,13 @@ def _emit_page(
         if var > 0:
             slope = float((dx * (ay - my)).sum()) / var
 
-    # §7 reading order
+    # §7 reading order; §7p: page-column mode orders column-major
+    # ACROSS bands (all of column 0 top-down, then column 1, ...)
     tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, RT_TABLE: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
-    out_regions.sort(key=lambda r: (r[1], tg[r[0]], r[2], r[3]))
+    if page_gutters is not None:
+        out_regions.sort(key=lambda r: (r[3], r[1], tg[r[0]], r[2]))
+    else:
+        out_regions.sort(key=lambda r: (r[1], tg[r[0]], r[2], r[3]))
 
     # §8 drop-capital merge
     merged = []

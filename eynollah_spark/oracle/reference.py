@@ -248,39 +248,110 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             band += 1
     close()
 
+    # --- §6 pre-pass: per-block deskew + gutters --------------------------
+    block_res: dict[int, tuple] = {}  # region index -> (shifts, sh_prof, gutters)
+    n_text_blocks = 0
+    for ri, r in enumerate(regions):
+        if r.rtype != RT_TEXT:
+            continue
+        n_text_blocks += 1
+        line_ids = [t[0] for t in r.spans]
+        block = [lines[i] for i in line_ids]
+        shifts = None
+        sh_prof = None
+        if len(block) >= cfg.min_block_lines:
+            res = _choose_shear_naive(block, cfg)
+            if res is not None:
+                _s_star, shifts, sh_prof = res
+        if shifts is not None:
+            gutters = _select_gutters_naive(sh_prof, cfg)
+        else:
+            gutters = (
+                _find_gutters_naive(block, cfg)
+                if len(block) >= cfg.min_block_lines
+                else []
+            )
+        block_res[ri] = (shifts, sh_prof, gutters)
+
+    # --- §6p page-column mode: union profile over all text-block lines ---
+    page_gutters = None
+    page_w = 0
+    if n_text_blocks >= 2 and any(g for (_s, _p, g) in block_res.values()):
+        all_lines = [
+            lines[t[0]] for r in regions if r.rtype == RT_TEXT for t in r.spans
+        ]
+        page_w = max((len(ln) for ln in all_lines), default=0)
+        if page_w > 0:
+            prof = [0] * page_w
+            for ln in all_lines:
+                for p, ch in enumerate(ln):
+                    if ch != " ":
+                        prof[p] += 1
+            pg = _select_gutters_naive(prof, cfg)
+            if pg:
+                page_gutters = pg
+
+    def col_of(p: int) -> int:
+        c = 0
+        for _g0, g1 in page_gutters:
+            if g1 < p:
+                c += 1
+        return c
+
+    # §6p band recompute: a separator contained in ONE column no longer
+    # advances the band counter; every region gets the column holding
+    # its first line's first ink
+    if page_gutters is not None:
+        band_line = {}
+        bnd = 0
+        run = 0
+        for i in range(n):
+            band_line[i] = bnd
+            if not (lo <= i < hi):
+                continue
+            c = line_class(i)
+            if c == "blank":
+                run += 1
+                if run == cfg.band_blank_gap:
+                    bnd += 1
+                continue
+            run = 0
+            if c == "separator":
+                a = len(lines[i]) - len(lines[i].lstrip())
+                b = a + len(lines[i].strip())
+                if b > a and col_of(a) != col_of(b - 1):
+                    bnd += 1
+        for r in regions:
+            r.band = band_line[r.first_line]
+            r.col_idx = col_of(len(lines[r.first_line]) - len(lines[r.first_line].lstrip()))
+
     # §6 column split on text blocks; materialize span content
     out_regions: list[_Region] = []
     slope_xs: list[int] = []
     slope_ys: list[int] = []
-    for r in regions:
+    for ri, r in enumerate(regions):
         line_ids = [t[0] for t in r.spans]
         if r.rtype == RT_TEXT:
             block = [lines[i] for i in line_ids]
-            # §6d deskew: shear-grid over skewed blocks, gutters in
-            # sheared space
-            shifts = None
-            sh_prof = None
-            if len(block) >= cfg.min_block_lines:
-                res = _choose_shear_naive(block, cfg)
-                if res is not None:
-                    _s_star, shifts, sh_prof = res
-            if shifts is not None:
-                gutters = _select_gutters_naive(sh_prof, cfg)
+            if page_gutters is not None:
+                shifts, sh_prof, gutters = None, None, page_gutters
             else:
-                gutters = (
-                    _find_gutters_naive(block, cfg)
-                    if len(block) >= cfg.min_block_lines
-                    else []
-                )
+                shifts, sh_prof, gutters = block_res[ri]
             if gutters:
                 diag["max_columns"] = max(diag["max_columns"], len(gutters) + 1)
-                w = len(sh_prof) if shifts is not None else max(len(ln) for ln in block)
+                if page_gutters is not None:
+                    w = page_w
+                elif shifts is not None:
+                    w = len(sh_prof)
+                else:
+                    w = max(len(ln) for ln in block)
                 bounds = [0]
                 segs = []
                 for g0, g1 in gutters:
                     segs.append((bounds[-1], g0))
                     bounds.append(g1 + 1)
                 segs.append((bounds[-1], w))
+                col_entries = []
                 for col, (a, b) in enumerate(segs):
                     col_spans = []
                     for k, i in enumerate(line_ids):
@@ -293,9 +364,32 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
                         cs = starts[i] + a + sh + lead
                         col_spans.append((cs, cs + len(s), s, a + lead, a + lead + len(s)))
                     if col_spans:
-                        out_regions.append(
-                            _Region(RT_TEXT, r.band, r.first_line, col, col_spans)
+                        col_entries.append((col, a, b, col_spans))
+                # §6m projection-based marginalia: narrow short-lined
+                # OUTER columns become marginalia regions
+                n_e = len(col_entries)
+                rel = round(cfg.marginalia_width_frac * 100)
+                for idx, (col, a, b, col_spans) in enumerate(col_entries):
+                    rt = RT_TEXT
+                    if n_e >= 2 and (idx == 0 or idx == n_e - 1):
+                        wd = b - a
+                        others = max(
+                            bb - aa
+                            for j, (_c, aa, bb, _s) in enumerate(col_entries)
+                            if j != idx
                         )
+                        if (
+                            wd * 100 <= rel * w
+                            and 2 * wd <= others
+                            and all(
+                                len(sp[2]) <= cfg.marginalia_max_len
+                                for sp in col_spans
+                            )
+                        ):
+                            rt = RT_MARGINALIA
+                    out_regions.append(
+                        _Region(rt, r.band, r.first_line, col, col_spans)
+                    )
                 continue
             # single column: deskew diagnostics over block lines
             for k, i in enumerate(line_ids):
@@ -317,7 +411,9 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
                     lead = len(lines[i]) - len(lines[i].lstrip())
                     spans.append((cs, ce, s, lead, lead + len(s)))
             if spans:
-                out_regions.append(_Region(r.rtype, r.band, r.first_line, 0, spans))
+                out_regions.append(
+                    _Region(r.rtype, r.band, r.first_line, r.col_idx, spans)
+                )
 
     # slope: least-squares fit (cv2.fitLine analog, utils/__init__.py:331-332)
     if len(slope_xs) >= 2:
@@ -328,9 +424,13 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             cov = sum((x - mx) * (y - my) for x, y in zip(slope_xs, slope_ys))
             diag["slope"] = cov / var
 
-    # §7 reading order
+    # §7 reading order; §7p: page-column mode orders column-major
+    # ACROSS bands
     tg = {RT_HEADER: 0, RT_TEXT: 1, RT_TOOL: 1, RT_TABLE: 1, "dropcap": 1, RT_MARGINALIA: 2, RT_SEPARATOR: 3}
-    out_regions.sort(key=lambda r: (r.band, tg[r.rtype], r.first_line, r.col_idx))
+    if page_gutters is not None:
+        out_regions.sort(key=lambda r: (r.col_idx, r.band, tg[r.rtype], r.first_line))
+    else:
+        out_regions.sort(key=lambda r: (r.band, tg[r.rtype], r.first_line, r.col_idx))
 
     # §8 drop-capital merge
     merged: list[_Region] = []

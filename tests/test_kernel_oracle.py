@@ -210,6 +210,80 @@ def test_deskew_no_gutter_is_noop():
     assert {g[2] for g in got} == {0}
 
 
+def test_projection_marginalia_column():
+    """utils/marginals.py analog: a narrow outer column of short lines
+    becomes a marginalia region (no [note:] literal required)."""
+    body = "x" * 40
+    notes = ["note A", "see 12", "cf. B3", "ref Z9"]
+    lines = [body + " " * 6 + n for n in notes]
+    text = "\n".join(lines)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    by_type = {}
+    for g in got:
+        by_type.setdefault(g[1], []).append(g[5])
+    assert by_type["text"] == [body] * 4
+    assert by_type["marginalia"] == notes
+    # reading order: text column first (group 1), then marginalia (2)
+    assert [g[1] for g in got] == ["text"] * 4 + ["marginalia"] * 4
+
+
+def test_symmetric_columns_stay_text():
+    """Equal-width columns (table-like) are NOT marginalia."""
+    lines = ["aaaaaaaaaaaa    bbbbbbbbbbbb"] * 3
+    text = "\n".join(lines)
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+    assert {g[1] for g in got} == {"text"}
+    assert {g[2] for g in got} == {0, 1}
+
+
+def test_page_columns_order_across_bands():
+    """W4 fidelity: a vertical gutter spanning two bands orders regions
+    column-major across the whole page, not per block."""
+    b1 = ["aaaaaaaaaa   bbbbbbbbbb"] * 4
+    b2 = ["cccccccccc   dddddddddd"] * 4
+    text = "\n".join(b1 + ["", ""] + b2)
+    got = _kernel_spans([(text, "user")])[0]
+    want = _oracle_spans(text, "user")
+    assert got == want
+    texts = [g[5] for g in got]
+    # column 0 of BOTH bands first, then column 1 of both bands
+    assert texts == (
+        ["aaaaaaaaaa"] * 4 + ["cccccccccc"] * 4
+        + ["bbbbbbbbbb"] * 4 + ["dddddddddd"] * 4
+    )
+
+
+def test_contained_separator_does_not_split_bands():
+    """J7 fidelity: a separator whose ink sits inside ONE page column
+    is local to that column — it no longer advances the band counter;
+    a full-width separator still does."""
+    b1 = ["aaaaaaaaaa   bbbbbbbbbb"] * 3
+    b2 = ["cccccccccc   dddddddddd"] * 3
+    contained = "\n".join(b1 + ["---"] + b2)
+    got_c = _kernel_spans([(contained, "user")])[0]
+    assert got_c == _oracle_spans(contained, "user")
+    # one band: col0 = a-block then c-block then the local separator
+    texts_c = [g[5] for g in got_c]
+    assert texts_c == (
+        ["aaaaaaaaaa"] * 3 + ["cccccccccc"] * 3 + ["---"]
+        + ["bbbbbbbbbb"] * 3 + ["dddddddddd"] * 3
+    )
+
+    crossing = "\n".join(b1 + ["-" * 23] + b2)
+    got_x = _kernel_spans([(crossing, "user")])[0]
+    assert got_x == _oracle_spans(crossing, "user")
+    texts_x = [g[5] for g in got_x]
+    # two bands inside column 0: a-block (band 0), separator, c-block
+    # (band 1) — still column-major across the page
+    assert texts_x == (
+        ["aaaaaaaaaa"] * 3 + ["-" * 23] + ["cccccccccc"] * 3
+        + ["bbbbbbbbbb"] * 3 + ["dddddddddd"] * 3
+    )
+
+
 def test_nul_in_gutter_counts_as_ink():
     """A NUL character inside a would-be gutter is ink (it is not
     whitespace): the block must NOT split into columns, in both
