@@ -8,7 +8,7 @@ parquet with an explicit manifest directory:
 
     out/
       manifest/<run-tag>/bucket=<k>._done   (commit markers)
-      data/bucket=<k>/part-*.parquet        (bucket data)
+      data/_bucket=<k>/part-*.parquet       (hive-partitioned data)
 
 - a bucket is the checkpoint unit: `conv_id`-hash determines the
   bucket, so every conversation lands wholly inside one bucket and a
@@ -16,9 +16,14 @@ parquet with an explicit manifest directory:
 - `resume()` anti-joins the buckets already marked done (the
   "anti-join processed partitions on restart" from SURVEY §2.9/O14)
   and processes only the remainder;
-- each bucket write is idempotent: data is rewritten (overwrite) and
-  only then the marker is created, so a crash between the two leaves a
-  re-processable bucket, never a half-visible one.
+- all pending buckets are written in ONE Spark job
+  (`partitionBy("_bucket")` + dynamic partition overwrite) — not one
+  job per bucket, which at 4096 buckets would be 4096 sequential
+  jobs; per-bucket commit granularity is preserved by writing the
+  marker files only AFTER the job commits, so a crash mid-job leaves
+  every pending bucket unmarked and therefore re-processable
+  (dynamic overwrite makes the retry idempotent per bucket
+  directory).
 
 At 100 TB scale the same code shape holds: swap the marker directory
 for Iceberg snapshot commits; bucket count scales with cluster size
@@ -59,13 +64,17 @@ class BucketedSpanSink:
 
     # --- write ------------------------------------------------------------
     def write(self, spans: DataFrame, buckets: list[int] | None = None) -> list[int]:
-        """Write spans bucket-by-bucket with commit markers. Returns the
-        buckets committed. `buckets=None` writes all pending ones.
+        """Write all pending buckets in ONE Spark job, then commit the
+        markers. Returns the buckets committed. `buckets=None` writes
+        all pending ones.
 
-        One filter+write per bucket keeps the commit unit small and
-        restartable; the bucketed DataFrame is cached so the expensive
-        kernel upstream runs once, not once per bucket.
-        """
+        The single `partitionBy("_bucket")` write with dynamic
+        partition overwrite replaces exactly the pending buckets'
+        directories; markers land only after the job commits, so a
+        crash anywhere in the job leaves every pending bucket
+        unmarked and the retry rewrites them idempotently. An empty
+        pending bucket (no rows hashed into it) is still committed —
+        the successful job vacuously covered its predicate."""
         done = self.done_buckets()
         todo = [
             b
@@ -74,18 +83,17 @@ class BucketedSpanSink:
         ]
         if not todo:
             return []
-        bucketed = spans.withColumn("_bucket", _bucket_col(self.n_buckets)).persist()
-        try:
-            for b in todo:
-                (
-                    bucketed.filter(F.col("_bucket") == b)
-                    .drop("_bucket")
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(self.data_dir, f"bucket={b}"))
-                )
-                self._mark_done(b)
-        finally:
-            bucketed.unpersist()
+        bucketed = spans.withColumn("_bucket", _bucket_col(self.n_buckets)).filter(
+            F.col("_bucket").isin([int(b) for b in todo])
+        )
+        (
+            bucketed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self.data_dir)
+        )
+        for b in todo:
+            self._mark_done(b)
         return todo
 
     def resume(self, spans: DataFrame) -> list[int]:
@@ -98,7 +106,11 @@ class BucketedSpanSink:
     # --- read -------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         done = sorted(self.done_buckets())
-        paths = [os.path.join(self.data_dir, f"bucket={b}") for b in done]
+        paths = [
+            p
+            for b in done
+            if os.path.isdir(p := os.path.join(self.data_dir, f"_bucket={b}"))
+        ]  # committed-but-empty buckets have no directory
         if not paths:
             raise FileNotFoundError(f"no committed buckets under {self.root}")
         return spark.read.parquet(*paths)

@@ -38,6 +38,14 @@ def test_resume_no_dupes_no_loss(spark, tmp_path):
     # idempotence: resuming a complete run writes nothing
     assert sink.resume(spans) == []
 
+    # single-job layout: one hive-partitioned write, not one
+    # directory-per-bucket job sequence
+    import os
+
+    data = str(tmp_path / "out" / "data")
+    assert any(n.startswith("_bucket=") for n in os.listdir(data))
+    assert not any(n.startswith("bucket=") for n in os.listdir(data))
+
 
 def test_accumulator_metrics(spark):
     local = generate_local(SPEC)
