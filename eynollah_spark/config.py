@@ -50,6 +50,11 @@ class ExtractConfig:
     # (stray-character tolerance: 1-2 stray chars no longer kill a wide
     # gutter); every run must still contain >= 1 truly blank column
     gutter_max_stray_lines: int = 1
+    # a valley must sit BETWEEN peaks: the smoothed profile must reach
+    # at least this fraction of its max on BOTH sides of the run (the
+    # find_peaks two-sided prominence analog) — rejects the ragged
+    # right tail of a block, where only the longest line has ink
+    gutter_peak_frac: float = 0.5
     gutter_min_frac: float = 0.15      # gutters only in [15%, 85%] of width
     gutter_max_frac: float = 0.85
     min_block_lines: int = 3           # blocks shorter than this are single-column

@@ -454,35 +454,131 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         page_has_frag = np.zeros(P, dtype=bool)
         page_has_frag[page[frag_line]] = True
         complex_page = page_has_dropcap | page_has_frag
-        # gutter pre-check only where the page is otherwise simple;
-        # results are cached so the per-page path never recomputes
-        gutter_cache: dict[int, list] = {}
+        # §6/§6d pre-check only where the page is otherwise simple;
+        # the full (shifts, sheared_profile, gutters) triple is cached
+        # so the per-page path never recomputes. A skewed block whose
+        # shear finds NO gutters emits exactly as unsheared (SPEC §6d),
+        # so it stays on the fast path — only real column structure
+        # routes a page to the per-page walk.
+        # note: dropcap/fragment pages (already complex) are NOT
+        # excluded — caching their blocks here means the per-page
+        # path never recomputes the gutter/deskew machinery
+        gutter_cache: dict[int, tuple] = {}
         if len(starts):
             eligible = np.flatnonzero(
                 (r_label == C_TEXT)
                 & (counts >= cfg.min_block_lines)
-                & ~complex_page[r_page]
                 & ~tool_page[r_page]
             )
-            for r in eligible:
-                # deskew-eligible blocks (LS indent slope over the
-                # threshold) route to the per-page path, which runs
-                # the §6d shear grid
-                n_ = int(counts[r])
-                leads_r = lstr_len[starts[r] : starts[r] + n_]
-                k_ = np.arange(n_, dtype=np.int64)
-                sk = n_ * (n_ - 1) // 2
-                sk2 = (n_ - 1) * n_ * (2 * n_ - 1) // 6
-                A = n_ * int((k_ * leads_r).sum()) - sk * int(leads_r.sum())
-                Bd = n_ * sk2 - sk * sk
-                if Bd > 0 and abs(A) >= cfg.slope_threshold * Bd:
-                    complex_page[r_page[r]] = True
-                    continue
-                lids = range(int(starts[r]), int(starts[r] + counts[r]))
-                g = _find_gutters(lines_np, raw_len, lids, cfg)
-                gutter_cache[int(starts[r])] = g
+        else:
+            eligible = np.zeros(0, dtype=np.int64)
+        if len(eligible):
+            st_e = starts[eligible].astype(np.int64)
+            cn_e = counts[eligible].astype(np.int64)
+            # segment reductions over [start, start+count) pairs; the
+            # sentinel pad keeps end == n a legal reduceat index
+            idx2 = np.empty(2 * len(st_e), dtype=np.int64)
+            idx2[0::2] = st_e
+            idx2[1::2] = st_e + cn_e
+            sent = np.zeros(1, dtype=np.int64)
+            wb = np.maximum.reduceat(np.concatenate([raw_len, sent]), idx2)[0::2]
+            # vectorized LS-slope gate (SPEC §6d): A/B per block
+            sy = np.add.reduceat(np.concatenate([lstr_len, sent]), idx2)[0::2]
+            gidx = np.arange(n, dtype=np.int64) * lstr_len
+            sgy = np.add.reduceat(np.concatenate([gidx, sent]), idx2)[0::2]
+            sky = sgy - st_e * sy
+            sk = cn_e * (cn_e - 1) // 2
+            sk2 = (cn_e - 1) * cn_e * (2 * cn_e - 1) // 6
+            A_e = cn_e * sky - sk * sy
+            B_e = cn_e * sk2 - sk * sk
+            skewed = (B_e > 0) & (np.abs(A_e) >= cfg.slope_threshold * B_e)
+
+            # batched profiles: all straight, narrow blocks share ONE
+            # UTF-32 grid + reduceat per chunk instead of per-block
+            # numpy dispatch
+            WCAP = 192
+            batched = np.flatnonzero(~skewed & (wb > 0) & (wb <= WCAP))
+            pos = 0
+            while pos < len(batched):
+                take = []
+                tot = 0
+                while pos < len(batched) and tot < 16384:
+                    j = int(batched[pos])
+                    take.append(j)
+                    tot += int(cn_e[j])
+                    pos += 1
+                sel = np.asarray(take, dtype=np.int64)
+                st_s = st_e[sel]
+                cn_s = cn_e[sel]
+                reg_first = np.cumsum(cn_s) - cn_s
+                li = np.repeat(st_s - reg_first, cn_s) + np.arange(
+                    int(cn_s.sum()), dtype=np.int64
+                )
+                grid = (
+                    lines_np[li]
+                    .astype(f"U{WCAP}")
+                    .view(np.uint32)
+                    .reshape(len(li), WCAP)
+                )
+                lens_li = raw_len[li]
+                ink = (grid != 32) & (
+                    np.arange(WCAP, dtype=np.int64)[None, :] < lens_li[:, None]
+                )
+                # per-block column sums via cumsum + row gather (much
+                # faster than axis-0 reduceat)
+                csum = np.cumsum(ink, axis=0, dtype=np.int32)
+                last = csum[reg_first + cn_s - 1].astype(np.int64)
+                prev = np.zeros_like(last)
+                nz_ = reg_first > 0
+                prev[nz_] = csum[reg_first[nz_] - 1]
+                prof_all = last - prev
+                # batched zero-anchor filter: a gutter needs >= 1 truly
+                # blank column, so blocks without one (the vast
+                # majority) skip the valley machinery entirely
+                has_zero = (
+                    (prof_all == 0)
+                    & (np.arange(WCAP, dtype=np.int64)[None, :] < wb[sel][:, None])
+                ).any(axis=1)
+                for jj, j in enumerate(take):
+                    if has_zero[jj]:
+                        g = _select_gutters(prof_all[jj, : int(wb[j])], cfg)
+                    else:
+                        g = []
+                    gutter_cache[int(st_e[j])] = (None, None, g)
+                    if g:
+                        complex_page[r_page[eligible[j]]] = True
+
+            # skewed or wide blocks: per-block path (shear grid / grid
+            # fallback)
+            rest = np.flatnonzero(skewed | (wb > WCAP))
+            for j in rest:
+                n_ = int(cn_e[j])
+                st = int(st_e[j])
+                shifts = None
+                sh_prof = None
+                if skewed[j]:
+                    lens_r = raw_len[st : st + n_]
+                    wblk = int(wb[j])
+                    if wblk > 0:
+                        blk = lines_np[st : st + n_]
+                        grid = blk.astype(f"U{wblk}").view(np.uint32).reshape(n_, wblk)
+                        valid = (
+                            np.arange(wblk, dtype=np.int64)[None, :]
+                            < lens_r[:, None]
+                        )
+                        ink = (grid != 32) & valid
+                        res = _choose_shear(
+                            ink, lens_r, lstr_len[st : st + n_], cfg
+                        )
+                        if res is not None:
+                            _s_star, shifts, sh_prof = res
+                if shifts is not None:
+                    g = _select_gutters(sh_prof, cfg)
+                else:
+                    g = _find_gutters(lines_np, raw_len, range(st, st + n_), cfg)
+                gutter_cache[st] = (shifts, sh_prof, g)
                 if g:
-                    complex_page[r_page[r]] = True
+                    complex_page[r_page[eligible[j]]] = True
         simple_page = ~complex_page
         # fast region table: real regions on simple non-tool pages +
         # one pseudo-region per non-empty tool page
@@ -710,6 +806,9 @@ def _emit_page(
         if rtype != RT_TEXT:
             continue
         n_text_blocks += 1
+        if gutter_cache is not None and rfirst in gutter_cache:
+            block_res[rfirst] = gutter_cache[rfirst]
+            continue
         shifts = None
         sh_prof = None
         if len(lids) >= cfg.min_block_lines:
@@ -727,8 +826,6 @@ def _emit_page(
             gutters = _select_gutters(sh_prof, cfg)
         elif len(lids) < cfg.min_block_lines:
             gutters = []
-        elif gutter_cache is not None and rfirst in gutter_cache:
-            gutters = gutter_cache[rfirst]
         else:
             gutters = _find_gutters(raw, rlen, lids, cfg)
         block_res[rfirst] = (shifts, sh_prof, gutters)
@@ -1013,31 +1110,49 @@ def _select_gutters(profile: np.ndarray, cfg: ExtractConfig):
     suppression (find_num_col + find_peaks analog,
     utils/__init__.py:443-503, separate_lines.py:57-103)."""
     w = len(profile)
-    zero = profile == 0
-    if not zero.any():
+    # cheap structural pre-pass first (pure-python scan — profiles are
+    # tiny and small-array numpy dispatch costs more): smoothing only
+    # runs when at least one run survives width/zero-anchor/position
+    # checks
+    pv = profile.tolist()
+    stray = cfg.gutter_max_stray_lines
+    lo_c = cfg.gutter_min_frac * w
+    hi_c = cfg.gutter_max_frac * w
+    pre = []
+    p = 0
+    while p < w:
+        if pv[p] <= stray:
+            q = p
+            has0 = pv[p] == 0
+            while q + 1 < w and pv[q + 1] <= stray:
+                q += 1
+                has0 = has0 or pv[q] == 0
+            if q - p + 1 >= 2 and has0 and lo_c <= (p + q) // 2 <= hi_c:
+                pre.append((p, q))
+            p = q + 1
+        else:
+            p += 1
+    if not pre:
         return []
     sm = _smooth_profile(profile, cfg.gutter_sigma)
     max_s = int(sm.max())
     if max_s == 0:
         return []
     rel_pct = int(round(cfg.gutter_rel_depth * 100))
-    candidate = profile <= cfg.gutter_max_stray_lines
-    d = np.diff(np.concatenate(([0], candidate.view(np.int8), [0])))
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1) - 1
+    peak_pct = int(round(cfg.gutter_peak_frac * 100))
     kept = []
-    for a, b in zip(starts, ends):
-        if b - a + 1 < 2:
-            continue
-        if not zero[a : b + 1].any():
-            continue  # no truly blank column anchors the run
+    for a, b in pre:
         depth = int(sm[a : b + 1].min())
         if depth * 100 > rel_pct * max_s:
             continue  # valley not deep enough relative to the peak
-        center = (a + b) // 2
-        if not (cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w):
+        # two-sided prominence: a real gutter separates two ink PEAKS;
+        # the ragged tail of a block (only the longest line inks) has
+        # no right-side peak and is rejected
+        left_max = int(sm[:a].max()) if a > 0 else 0
+        right_max = int(sm[b + 1 :].max()) if b + 1 < w else 0
+        if min(left_max, right_max) * 100 < peak_pct * max_s:
             continue
-        kept.append((depth, int(a), int(b)))
+        kept.append((depth, a, b))
     # W6 suppression: keep the deepest max_columns-1 valleys, then
     # restore positional order
     kept.sort()
@@ -1087,12 +1202,13 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
             continue
         prof = np.zeros(wp, dtype=np.int64)
         for k in range(n):
-            row = ink_rows[k]
-            if sh[k] < len(row):
-                seg = row[sh[k] :]
+            # slice by the line's LENGTH (rows may be padded when they
+            # come from a fixed-width grid)
+            seg = ink_rows[k][sh[k] : int(lens[k])]
+            if len(seg):
                 prof[: len(seg)] += seg
         sv = int(prof.sum())
-        sv2 = int((prof.astype(np.int64) * prof).sum())
+        sv2 = int((prof * prof).sum())
         score = wp * sv2 - sv * sv  # population variance * wp^2
         if best is None or score * best[1] * best[1] > best[0] * wp * wp:
             best = (score, wp, s, sh, prof)

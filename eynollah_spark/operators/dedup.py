@@ -95,13 +95,15 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, k)
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+        # one shuffle: count df with a shingle-partitioned window (the
+        # self-join downstream is keyed on shingle too, so the exchange
+        # is reusable) instead of a groupBy + anti-join pair
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -548,6 +548,7 @@ def _select_gutters_naive(profile: list[int], cfg: ExtractConfig) -> list[tuple[
     if max_s == 0:
         return []
     rel_pct = int(round(cfg.gutter_rel_depth * 100))
+    peak_pct = int(round(cfg.gutter_peak_frac * 100))
     runs = []
     p = 0
     while p < w:
@@ -567,6 +568,11 @@ def _select_gutters_naive(profile: list[int], cfg: ExtractConfig) -> list[tuple[
             continue
         depth = min(sm[p] for p in range(a, b + 1))
         if depth * 100 > rel_pct * max_s:
+            continue
+        # two-sided prominence: ink peaks required on BOTH sides
+        left_max = max(sm[:a]) if a > 0 else 0
+        right_max = max(sm[b + 1 :]) if b + 1 < w else 0
+        if min(left_max, right_max) * 100 < peak_pct * max_s:
             continue
         center = (a + b) // 2
         if not (cfg.gutter_min_frac * w <= center <= cfg.gutter_max_frac * w):
