@@ -405,6 +405,17 @@ def _q_extract_spans_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_spans_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with curved-line splitting on (-cl analog): long
+    spans subdivide at wide internal gaps."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(enable_line_split=True),
+    )
+
+
 def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
@@ -461,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
         "extract_spans_tables": _q_extract_spans_tables,
+        "extract_spans_cl": _q_extract_spans_cl,
         "page_diags": _q_page_diags,
     }
 

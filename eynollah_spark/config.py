@@ -85,6 +85,20 @@ class ExtractConfig:
     marginalia_width_frac: float = 0.25
     marginalia_max_len: int = 24
 
+    # --- curved-line splitting (separate_lines.py:128-673, the -cl
+    # mode; gated like the reference's CLI flag) ---
+    # off by default: long spans are subdivided at wide internal gaps
+    # (the 1-D analog of splitting a curved textline at the valleys of
+    # its own projection profile)
+    enable_line_split: bool = False
+    # only spans at least this long are candidates
+    line_split_min_len: int = 80
+    # an internal run of >= this many spaces splits the span...
+    line_split_gap: int = 2
+    # ...widened for longer spans: gap += len(text) // line_split_scale
+    # (the data-dependent-sigma analog, separate_lines.py:240-265)
+    line_split_scale: int = 160
+
     # --- table mode (M10 analog, eynollah.py:1841-1941; gated like the
     # reference's -tab flag, cli.py) ---
     # off by default: the reference only detects tables when asked

@@ -439,7 +439,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     # back to the per-page path below. Tool pages are fast by
     # construction (one pseudo-region of all nonblank lines).
     fast_df = None
-    if not want_diag and n:
+    if not want_diag and n and not cfg.enable_line_split:
         r_page = page[starts]
         r_label = cls[starts]
         page_has_dropcap = np.zeros(P, dtype=bool)
@@ -768,6 +768,45 @@ _CODE_RT = {
 }
 
 
+def _split_long_spans(spans, cfg: ExtractConfig):
+    """SPEC §9L curved-line splitting (-cl mode analog,
+    separate_lines.py:128-673): spans of at least line_split_min_len
+    subdivide at maximal internal runs of >= gap spaces, where gap
+    widens with span length (the data-dependent-sigma analog). Only
+    active when cfg.enable_line_split."""
+    out = []
+    for sp in spans:
+        cs, ce, text, ca, cb = sp
+        L = len(text)
+        if L < cfg.line_split_min_len:
+            out.append(sp)
+            continue
+        gap = cfg.line_split_gap + L // cfg.line_split_scale
+        pieces = []
+        last_end = 0
+        i = 0
+        while i < L:
+            if text[i] == " ":
+                j = i
+                while j < L and text[j] == " ":
+                    j += 1
+                if j - i >= gap:
+                    if i > last_end:
+                        pieces.append((last_end, i))
+                    last_end = j
+                i = j
+            else:
+                i += 1
+        if last_end < L:
+            pieces.append((last_end, L))
+        if len(pieces) <= 1:
+            out.append(sp)
+            continue
+        for a, b in pieces:
+            out.append((cs + a, cs + b, text[a:b], ca + a, ca + b))
+    return out
+
+
 def _col_of(p: int, gutters) -> int:
     """Column index of raw position p given page gutters: the number
     of gutters entirely to its left (SPEC §6p)."""
@@ -1019,6 +1058,8 @@ def _emit_page(
             final_regions.append(r)
             continue
         spans_r = r[4]
+        if cfg.enable_line_split:
+            spans_r = _split_long_spans(spans_r, cfg)  # §9L (-cl mode)
         bigs = [
             j for j, sp in enumerate(spans_r)
             if len(sp[2]) > cfg.small_fragment_max_len

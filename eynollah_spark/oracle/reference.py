@@ -468,6 +468,8 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             final_regions.append(r)
             continue
         spans_r = r.spans
+        if cfg.enable_line_split:
+            spans_r = _split_long_spans_naive(spans_r, cfg)  # §9L (-cl)
         bigs = [
             j for j, sp in enumerate(spans_r)
             if len(sp[2]) > cfg.small_fragment_max_len
@@ -652,6 +654,42 @@ def _choose_shear_naive(block: list[str], cfg: ExtractConfig):
     if best is None or abs(best[2]) < cfg.slope_threshold:
         return None
     return best[2], best[3], best[4]
+
+
+def _split_long_spans_naive(spans, cfg: ExtractConfig):
+    """SPEC §9L curved-line splitting, naive form: long spans split at
+    maximal internal runs of >= gap spaces; gap widens with length."""
+    out = []
+    for sp in spans:
+        cs, ce, text, ca, cb = sp
+        L = len(text)
+        if L < cfg.line_split_min_len:
+            out.append(sp)
+            continue
+        gap = cfg.line_split_gap + L // cfg.line_split_scale
+        pieces = []
+        last_end = 0
+        i = 0
+        while i < L:
+            if text[i] == " ":
+                j = i
+                while j < L and text[j] == " ":
+                    j += 1
+                if j - i >= gap:
+                    if i > last_end:
+                        pieces.append((last_end, i))
+                    last_end = j
+                i = j
+            else:
+                i += 1
+        if last_end < L:
+            pieces.append((last_end, L))
+        if len(pieces) <= 1:
+            out.append(sp)
+            continue
+        for a, b in pieces:
+            out.append((cs + a, cs + b, text[a:b], ca + a, ca + b))
+    return out
 
 
 def analyze_turn_naive(

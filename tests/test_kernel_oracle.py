@@ -284,6 +284,61 @@ def test_contained_separator_does_not_split_bands():
     )
 
 
+def _cl_kernel_spans(text, role="user"):
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(enable_line_split=True)
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": [role], "text": [text]}
+    )
+    out = analyze_turns_batch(pdf, LineModel(cfg))
+    return [
+        (int(t.span_idx), t.region_type, int(t.region_seq), int(t.char_start),
+         int(t.char_end), t.text)
+        for t in out.itertuples(index=False)
+    ], cfg
+
+
+def test_curved_line_split_mode():
+    """-cl analog: a long span with wide internal gaps subdivides;
+    offsets index the original text; default mode is unchanged."""
+    from eynollah_spark.oracle.reference import analyze_turn_naive
+
+    left = "w" * 45
+    right = "v" * 45
+    text = left + "  " + right  # 92 chars, one 2-space gap
+    got, cfg = _cl_kernel_spans(text)
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user", cfg)
+    ]
+    assert got == want
+    assert [g[5] for g in got] == [left, right]
+    assert got[1][3] == 47  # right piece starts after the gap
+    # default mode: unchanged single span
+    plain = _kernel_spans([(text, "user")])[0]
+    assert [g[5] for g in plain] == [text]
+
+
+def test_curved_line_split_gap_scales_with_length():
+    """Data-dependent gap: a 2-space gap splits a ~90-char span but NOT
+    a >=160-char span (gap widens to 3)."""
+    from eynollah_spark.oracle.reference import analyze_turn_naive
+
+    long_text = "x" * 100 + "  " + "y" * 100  # 202 chars, gap=3 needed
+    got, cfg = _cl_kernel_spans(long_text)
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(long_text, "user", cfg)
+    ]
+    assert got == want
+    assert [g[5] for g in got] == [long_text]
+    wide = "x" * 100 + "   " + "y" * 100  # 3-space gap splits
+    got2, _ = _cl_kernel_spans(wide)
+    assert [g[5] for g in got2] == ["x" * 100, "y" * 100]
+
+
 def test_nul_in_gutter_counts_as_ink():
     """A NUL character inside a would-be gutter is ink (it is not
     whitespace): the block must NOT split into columns, in both
