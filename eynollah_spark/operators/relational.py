@@ -226,20 +226,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bands via the sweep pattern (running max of interval ends).
 # ---------------------------------------------------------------------------
 def activity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union sweep as a TWO-LEVEL scan: the running max and
+    the band counter run inside day buckets (partitioned windows), and
+    only the one-row-per-day bucket summary crosses buckets through a
+    global window — bounded by #days, not #sessions, so the sweep
+    never serializes the corpus into one partition. Results are
+    byte-identical to the single-window formulation (bucket = day of
+    session start is monotone in the global (s, e) order)."""
     sessions = events_sessionize(spark, sf_dir).select(
         F.to_timestamp("session_start").alias("s"),
         F.to_timestamp("session_end").alias("e"),
     )
-    w = Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, -1)
-    swept = sessions.withColumn("prev_max_e", F.max("e").over(w))
-    grouped = swept.withColumn(
+    sess = sessions.withColumn(
+        "bucket", F.datediff(F.col("s"), F.lit("1970-01-01"))
+    )
+    w_prev = Window.partitionBy("bucket").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    loc = sess.withColumn("local_prev_max_e", F.max("e").over(w_prev))
+    # bucket summary: one row per day; the global window is O(#days)
+    bmax = sess.groupBy("bucket").agg(F.max("e").alias("bmax_e"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bmax.withColumn("prev_bmax_e", F.max("bmax_e").over(w_b)).select(
+        "bucket", "prev_bmax_e"
+    )
+    j = loc.join(F.broadcast(boff), "bucket")
+    prev_max = F.greatest("local_prev_max_e", "prev_bmax_e")
+    j = j.withColumn(
         "new_band",
-        F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0),
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
     ).withColumn(
-        "band_id",
+        "local_band",
         F.sum("new_band").over(
-            Window.orderBy("s", "e").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy("bucket")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
+    )
+    bsum = j.groupBy("bucket").agg(F.sum("new_band").alias("nb"))
+    boff2 = bsum.withColumn(
+        "band_off",
+        F.coalesce(
+            F.sum("nb").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "band_off")
+    grouped = j.join(F.broadcast(boff2), "bucket").withColumn(
+        "band_id", (F.col("local_band") + F.col("band_off")).cast("bigint")
     )
     return grouped.groupBy("band_id").agg(
         F.date_format(F.min("s"), "yyyy-MM-dd HH:mm:ss").alias("band_start"),
@@ -263,11 +298,23 @@ def session_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp("session_start").alias("s"),
         F.to_timestamp("session_end").alias("e"),
     )
-    a, b = sess.alias("a"), sess.alias("b")
+    # time-bucket prejoin: a container must cover the contained
+    # session's START (b.s <= a.s <= b.e), so hash-joining a's start
+    # day against b exploded over its day range replaces the O(S^2)
+    # cross product with a bucketed equi-join; each (a, b) pair meets
+    # on exactly one bucket (a's start day), so no duplicates arise
+    day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
+    a = sess.withColumn("bucket", day("s")).alias("a")
+    b = (
+        sess.withColumn(
+            "bucket", F.explode(F.sequence(day("s"), day("e")))
+        )
+    ).alias("b")
     contained = (
         a.join(
             b,
-            (F.col("b.s") <= F.col("a.s"))
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.s") <= F.col("a.s"))
             & (F.col("a.e") <= F.col("b.e"))
             & (
                 (F.col("a.user_id") != F.col("b.user_id"))

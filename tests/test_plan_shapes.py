@@ -79,6 +79,26 @@ def test_ivf_centroid_pick_is_distributed(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_interval_sweep_is_bucket_partitioned(spark):
+    """activity_bands: the running-max sweep must run inside day
+    buckets (partitioned window); only the one-row-per-day summary may
+    cross buckets through a single-partition window."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["activity_bands"](spark, SF))
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_containment_join_is_hash_not_bnlj(spark):
+    """session_containment: the bucketed prejoin turns the interval
+    containment into an equi-join — no O(S^2) nested-loop product."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["session_containment"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_topk_no_corpus_shuffle_before_scoring(spark):
     """Brute-force ANN: query set broadcast; the only exchange is the
     per-query window for top-k ranking."""
