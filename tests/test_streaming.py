@@ -96,6 +96,63 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, events_dir):
     assert have == want
 
 
+def test_session_fn_seq_survives_timeout():
+    """A timeout-emitted session must NOT reset the user's sequence:
+    the next session continues at seq+1 (and seq is 1-based, matching
+    the batch sessionizer's keys)."""
+    import pandas as pd
+
+    from eynollah_spark.streaming.jobs import _session_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    state = FakeState()
+    ts0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def batch(*offsets_s):
+        return pd.DataFrame(
+            {
+                "ts": [ts0 + pd.Timedelta(seconds=o) for o in offsets_s],
+                "event_id": list(range(len(offsets_s))),
+                "value": [1.0] * len(offsets_s),
+            }
+        )
+
+    # first events open session 1 (1-based)
+    out = list(_session_fn((7,), iter([batch(0, 10)]), state))
+    assert out == []
+    assert state._v[0] == 1  # current seq
+    # timeout closes session 1 and pre-advances the stored seq
+    state.hasTimedOut = True
+    out = list(_session_fn((7,), iter([]), state))
+    assert len(out) == 1 and out[0]["session_seq"].tolist() == [1]
+    assert state.exists and state._v[0] == 2
+    # the user returns: next session is seq 2, not a reset to 1
+    state.hasTimedOut = False
+    out = list(_session_fn((7,), iter([batch(10_000)]), state))
+    assert out == []
+    assert state._v[0] == 2
+
+
 def test_stream_extract_matches_batch(spark, tmp_path):
     from eynollah_spark.fixtures.transcripts import CorpusSpec, generate_spark
     from eynollah_spark.operators.extract import extract_spans
