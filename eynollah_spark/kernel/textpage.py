@@ -878,9 +878,26 @@ def _emit_page(
     page_gutters = None
     page_w = 0
     if n_text_blocks >= 2 and any(g for (_s, _p, g) in block_res.values()):
-        all_lids = [i for r in regions if r[0] == RT_TEXT for i in r[4]]
-        page_w = int(max(rlen[i] for i in all_lids)) if all_lids else 0
-        if page_w > 0:
+        all_lids = np.asarray(
+            [i for r in regions if r[0] == RT_TEXT for i in r[4]], dtype=np.int64
+        )
+        lens_pg = rlen[all_lids]
+        page_w = int(lens_pg.max()) if len(all_lids) else 0
+        if 0 < page_w <= 512:
+            grid = (
+                raw[all_lids]
+                .astype(f"U{page_w}")
+                .view(np.uint32)
+                .reshape(len(all_lids), page_w)
+            )
+            valid = (
+                np.arange(page_w, dtype=np.int64)[None, :] < lens_pg[:, None]
+            )
+            prof = ((grid != 32) & valid).sum(axis=0).astype(np.int64)
+            pg = _select_gutters(prof, cfg)
+            if pg:
+                page_gutters = pg
+        elif page_w > 512:
             prof = np.zeros(page_w, dtype=np.int64)
             for i in all_lids:
                 row = _ink_row(raw[i])

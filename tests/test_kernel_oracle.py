@@ -99,6 +99,44 @@ def test_fuzz_agreement(text, role):
     assert got == _oracle_spans(text, role), repr(text)
 
 
+# all optional modes on at once, with line-split thresholds lowered so
+# fuzz-sized spans actually split
+_FUZZ_CFG = None
+
+
+def _fuzz_cfg():
+    global _FUZZ_CFG
+    if _FUZZ_CFG is None:
+        from eynollah_spark.config import ExtractConfig
+
+        _FUZZ_CFG = ExtractConfig(
+            enable_tables=True, enable_line_split=True, line_split_min_len=8
+        )
+    return _FUZZ_CFG
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_text, role=st.sampled_from(["user", "assistant", "tool"]))
+def test_fuzz_agreement_all_modes(text, role):
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = _fuzz_cfg()
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": [role], "text": [text]}
+    )
+    out = analyze_turns_batch(pdf, LineModel(cfg))
+    got = [
+        (int(t.span_idx), t.region_type, int(t.region_seq), int(t.char_start),
+         int(t.char_end), t.text)
+        for t in out.itertuples(index=False)
+    ]
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, role, cfg)
+    ]
+    assert got == want, repr(text)
+
+
 def test_patch_stitching_equals_whole():
     """do_prediction graft (eynollah.py:522-639): patched classification
     with margin stitching must equal unpatched on long pages."""
