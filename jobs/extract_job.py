@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true", help="skip committed buckets")
     ap.add_argument("--tables", action="store_true", help="enable table detection (-tab)")
+    ap.add_argument(
+        "--line-split", action="store_true",
+        help="enable curved-line splitting (-cl): long spans subdivide at wide gaps",
+    )
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -38,7 +42,9 @@ def main() -> None:
     from eynollah_spark.session import get_spark
 
     spark = get_spark(app_name=f"eynollah-extract-{args.run_id}")
-    cfg = ExtractConfig(enable_tables=True) if args.tables else ExtractConfig()
+    cfg = ExtractConfig(
+        enable_tables=args.tables, enable_line_split=args.line_split
+    )
     metrics = ExtractMetrics.create(spark)
 
     turns = spark.read.parquet(args.input)
