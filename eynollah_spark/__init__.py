@@ -24,7 +24,19 @@ Architecture (Spark-first, see SURVEY.md):
 
 from eynollah_spark.config import ExtractConfig
 from eynollah_spark.session import get_spark
-from eynollah_spark.operators.extract import extract_spans, analyze_pages
+from eynollah_spark.operators.extract import (
+    analyze_pages,
+    extract_spans,
+    extract_spans_salted,
+    probe_turn_metadata,
+)
 
-__all__ = ["ExtractConfig", "get_spark", "extract_spans", "analyze_pages"]
+__all__ = [
+    "ExtractConfig",
+    "get_spark",
+    "extract_spans",
+    "extract_spans_salted",
+    "analyze_pages",
+    "probe_turn_metadata",
+]
 __version__ = "0.1.0"

@@ -3,6 +3,7 @@ from eynollah_spark.streaming.jobs import (
     stream_minute_rollup,
     stream_sessionize,
     stream_extract_spans,
+    stream_dedup_docs,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "stream_minute_rollup",
     "stream_sessionize",
     "stream_extract_spans",
+    "stream_dedup_docs",
 ]

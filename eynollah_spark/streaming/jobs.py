@@ -158,6 +158,21 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_docs(
+    docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup — the in-flight twin of
+    operators/dedup.dedup_exact for a continuously-ingesting training
+    pipeline: documents whose md5(text) was already seen within the
+    watermark horizon are dropped. ``dropDuplicatesWithinWatermark``
+    bounds the dedup state by event time (an unbounded global
+    dropDuplicates would grow state forever at 10^12-doc scale)."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col("text")))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+
 def stream_extract_spans(
     spark: SparkSession,
     transcripts_dir: str,

@@ -11,6 +11,7 @@ import pytest
 
 from eynollah_spark.operators.relational import events_sessionize
 from eynollah_spark.streaming import (
+    stream_dedup_docs,
     stream_events,
     stream_extract_spans,
     stream_minute_rollup,
@@ -181,6 +182,33 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     # per-turn span equality; reading_order/ids are per-micro-batch in
     # streaming so global order columns are excluded by selection
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_dedup_docs(spark, tmp_path):
+    """In-flight exact dedup: one survivor per text hash, state
+    bounded by the watermark."""
+    import datetime
+
+    texts = ["alpha text", "beta text", "alpha text", "gamma", "beta text"]
+    rows = [
+        (i, texts[i % 5], datetime.datetime(2025, 1, 1, 0, i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    q = (
+        stream_dedup_docs(src)
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_docs").collect()
+    assert len(got) == 3
+    assert {r["text"] for r in got} == {"alpha text", "beta text", "gamma"}
 
 
 def test_stream_extract_resume_no_duplicates(spark, tmp_path):
