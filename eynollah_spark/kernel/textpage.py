@@ -433,18 +433,17 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     r_lo = np.searchsorted(starts, offsets[:-1])
     r_hi = np.searchsorted(starts, offsets[1:])
 
-    # ---- span-mode fast path: pages needing no merges or column
-    # splits (the large majority) emit entirely as numpy arrays;
-    # pages with drop-capitals, small fragments, or gutter splits fall
-    # back to the per-page path below. Tool pages are fast by
-    # construction (one pseudo-region of all nonblank lines).
+    # ---- span-mode fast path: pages needing no column splits or
+    # fragment merges (the large majority) emit entirely as numpy
+    # arrays — including the §8 drop-capital merge, handled
+    # array-natively in _emit_fast; pages with small fragments or
+    # gutter splits fall back to the per-page path below. Tool pages
+    # are fast by construction (one pseudo-region of all nonblank
+    # lines).
     fast_df = None
     if not want_diag and n and not cfg.enable_line_split:
         r_page = page[starts]
         r_label = cls[starts]
-        page_has_dropcap = np.zeros(P, dtype=bool)
-        if len(starts):
-            page_has_dropcap[r_page[r_label == C_DROPCAP]] = True
         frag_line = (
             regline
             & (cls == C_TEXT)
@@ -453,7 +452,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         )
         page_has_frag = np.zeros(P, dtype=bool)
         page_has_frag[page[frag_line]] = True
-        complex_page = page_has_dropcap | page_has_frag
+        complex_page = page_has_frag.copy()
         # §6/§6d pre-check only where the page is otherwise simple;
         # the full (shifts, sheared_profile, gutters) triple is cached
         # so the per-page path never recomputes. A skewed block whose
@@ -690,27 +689,29 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     return out
 
 
-# reading-order type group per line class (SPEC §7); drop-capital is
-# never on the fast path
+# reading-order type group per line class (SPEC §7)
 _TG_LUT = np.full(16, 9, dtype=np.int8)
 _TG_LUT[C_HEADER] = 0
 _TG_LUT[C_TEXT] = 1
 _TG_LUT[C_TOOL] = 1
 _TG_LUT[C_TABLE] = 1
+_TG_LUT[C_DROPCAP] = 1
 _TG_LUT[C_MARG] = 2
 _TG_LUT[C_SEP] = 3
 
 
 def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cstart, s_len):
-    """Array-native span emission for merge-free regions (SPEC §§7,10
-    without §§8-9, which route to the per-page path): sort regions by
-    (page, band, type-group, first_line), drop span-less regions,
-    number regions and spans per page, gather span fields — all numpy,
-    no per-line Python."""
+    """Array-native span emission for column-free, fragment-free
+    regions (SPEC §§7,8,10 — §9 is a no-op here because fragment pages
+    route to the per-page path): sort regions by (page, band,
+    type-group, first_line), apply the §8 drop-capital merge, drop
+    span-less regions, number regions and spans per page, gather span
+    fields — all numpy except the (rare) drop-capital patch loop."""
     order = np.lexsort((fr_start, _TG_LUT[fr_label], fr_band, fr_page))
     st = fr_start[order].astype(np.int64)
     cn = fr_count[order].astype(np.int64)
     pg = fr_page[order].astype(np.int64)
+    bd = fr_band[order].astype(np.int64)
     lb = fr_label[order]
 
     total = int(cn.sum())
@@ -724,9 +725,36 @@ def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cst
     rl = reg_of_line[keep]
     if len(li) == 0:
         return None
+    kept_per_region = np.bincount(rl, minlength=len(st))
+
+    # §8 drop-capital merge: a dropcap whose next non-empty region (in
+    # final order) is a TEXT region of the same page+band folds its
+    # char onto that region's first span; the dropcap region vanishes
+    merged_src: dict[int, int] = {}
+    dc_idx = np.flatnonzero(lb == C_DROPCAP)
+    for i in dc_idx:
+        j = i + 1
+        while j < len(st) and kept_per_region[j] == 0:
+            j += 1
+        if (
+            j < len(st)
+            and pg[j] == pg[i]
+            and lb[j] == C_TEXT
+            and bd[j] == bd[i]
+        ):
+            merged_src[int(j)] = int(i)
+    if merged_src:
+        dropped = np.zeros(len(st), dtype=bool)
+        for i in merged_src.values():
+            dropped[i] = True
+        m = ~dropped[rl]
+        li = li[m]
+        rl = rl[m]
+        kept_per_region = np.bincount(rl, minlength=len(st))
+        if len(li) == 0:
+            return None
 
     # regions with zero surviving spans vanish before numbering
-    kept_per_region = np.bincount(rl, minlength=len(st))
     ne = np.flatnonzero(kept_per_region > 0)
     pg_ne = pg[ne]
     seq_ne = np.arange(len(ne), dtype=np.int64) - np.searchsorted(pg_ne, pg_ne)
@@ -739,9 +767,19 @@ def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cst
     rt_lut = np.empty(16, dtype=object)
     for code, rt in _CODE_RT.items():
         rt_lut[code] = rt
+    rt_lut[C_DROPCAP] = RT_DROPCAP  # unmerged dropcaps keep the spec type
     conv_vals = pdf["conv_id"].to_numpy()
     turn_vals = pdf["turn_idx"].to_numpy()
     cs = cstart[li]
+    texts = strp_np[li]
+    ce = cs + s_len[li]
+    if merged_src:
+        cs = cs.copy()
+        for j, i in merged_src.items():
+            pos = int(np.searchsorted(rl, j))
+            dc_line = int(st[i])
+            texts[pos] = strp_np[dc_line] + texts[pos]
+            cs[pos] = cstart[dc_line]
     return pd.DataFrame(
         {
             "conv_id": conv_vals[span_page],
@@ -750,8 +788,8 @@ def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cst
             "region_type": rt_lut[lb[rl]],
             "region_seq": region_seq[rl],
             "char_start": cs,
-            "char_end": cs + s_len[li],
-            "text": strp_np[li],
+            "char_end": ce,
+            "text": texts,
         }
     )
 
