@@ -1288,26 +1288,39 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     sls = A / B
     n = len(ink_rows)
     cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
+    lens_i = [int(lens[k]) for k in range(n)]
+    # candidates with identical shift vectors score identically, so
+    # build each distinct shift vector's profile once (short blocks
+    # collapse most of the grid)
+    seen: dict[tuple, tuple] = {}
     best = None  # (score, wp, s, shifts, profile)
     for s in cands:
         raw_sh = [round(s * k) for k in range(n)]
         m = min(raw_sh)
-        sh = [int(v - m) for v in raw_sh]
-        wp = max(int(lens[k]) - sh[k] for k in range(n))
-        if wp <= 0:
+        sh = tuple(int(v - m) for v in raw_sh)
+        got = seen.get(sh)
+        if got is None:
+            wp = max(lens_i[k] - sh[k] for k in range(n))
+            if wp <= 0:
+                seen[sh] = (None, None, None)
+                continue
+            prof = np.zeros(wp, dtype=np.int64)
+            for k in range(n):
+                # slice by the line's LENGTH (rows may be padded when
+                # they come from a fixed-width grid)
+                seg = ink_rows[k][sh[k] : lens_i[k]]
+                if len(seg):
+                    prof[: len(seg)] += seg
+            sv = int(prof.sum())
+            sv2 = int((prof * prof).sum())
+            score = wp * sv2 - sv * sv  # population variance * wp^2
+            got = (score, wp, prof)
+            seen[sh] = got
+        score, wp, prof = got
+        if score is None:
             continue
-        prof = np.zeros(wp, dtype=np.int64)
-        for k in range(n):
-            # slice by the line's LENGTH (rows may be padded when they
-            # come from a fixed-width grid)
-            seg = ink_rows[k][sh[k] : int(lens[k])]
-            if len(seg):
-                prof[: len(seg)] += seg
-        sv = int(prof.sum())
-        sv2 = int((prof * prof).sum())
-        score = wp * sv2 - sv * sv  # population variance * wp^2
         if best is None or score * best[1] * best[1] > best[0] * wp * wp:
-            best = (score, wp, s, sh, prof)
+            best = (score, wp, s, list(sh), prof)
     if best is None or abs(best[2]) < cfg.slope_threshold:
         return None
     return best[2], best[3], best[4]
