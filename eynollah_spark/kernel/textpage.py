@@ -433,26 +433,18 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     r_lo = np.searchsorted(starts, offsets[:-1])
     r_hi = np.searchsorted(starts, offsets[1:])
 
-    # ---- span-mode fast path: pages needing no column splits or
-    # fragment merges (the large majority) emit entirely as numpy
-    # arrays — including the §8 drop-capital merge, handled
-    # array-natively in _emit_fast; pages with small fragments or
-    # gutter splits fall back to the per-page path below. Tool pages
-    # are fast by construction (one pseudo-region of all nonblank
-    # lines).
+    # ---- span-mode fast path: pages needing no column splits (the
+    # large majority) emit entirely as numpy arrays — the §8
+    # drop-capital merge and §9 fragment adherence are handled
+    # array-natively in _emit_fast; only pages with actual gutter
+    # splits (incl. deskewed ones) fall back to the per-page path
+    # below. Tool pages are fast by construction (one pseudo-region of
+    # all nonblank lines).
     fast_df = None
     if not want_diag and n and not cfg.enable_line_split:
         r_page = page[starts]
         r_label = cls[starts]
-        frag_line = (
-            regline
-            & (cls == C_TEXT)
-            & (s_len > 0)
-            & (s_len <= cfg.small_fragment_max_len)
-        )
-        page_has_frag = np.zeros(P, dtype=bool)
-        page_has_frag[page[frag_line]] = True
-        complex_page = page_has_frag.copy()
+        complex_page = np.zeros(P, dtype=bool)
         # §6/§6d pre-check only where the page is otherwise simple;
         # the full (shifts, sheared_profile, gutters) triple is cached
         # so the per-page path never recomputes. A skewed block whose
@@ -600,7 +592,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         if len(fr_start):
             fast_df = _emit_fast(
                 fr_start, fr_count, fr_label, fr_band, fr_page,
-                pdf, stripped_np, line_start + lstr_len, s_len,
+                pdf, stripped_np, line_start + lstr_len, s_len, lstr_len, cfg,
             )
         pages_iter = np.flatnonzero(complex_page & ~tool_page)
     else:
@@ -700,13 +692,16 @@ _TG_LUT[C_MARG] = 2
 _TG_LUT[C_SEP] = 3
 
 
-def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cstart, s_len):
-    """Array-native span emission for column-free, fragment-free
-    regions (SPEC §§7,8,10 — §9 is a no-op here because fragment pages
-    route to the per-page path): sort regions by (page, band,
-    type-group, first_line), apply the §8 drop-capital merge, drop
-    span-less regions, number regions and spans per page, gather span
-    fields — all numpy except the (rare) drop-capital patch loop."""
+def _emit_fast(
+    fr_start, fr_count, fr_label, fr_band, fr_page,
+    pdf, strp_np, cstart, s_len, lead, cfg,
+):
+    """Array-native span emission for column-free regions (SPEC
+    §§7,8,9,10): sort regions by (page, band, type-group, first_line),
+    apply the §8 drop-capital merge and the §9 overlap-argmax fragment
+    adherence as array patches, drop span-less regions, number regions
+    and spans per page, gather span fields — numpy throughout except
+    the (rare) per-merge patch loops."""
     order = np.lexsort((fr_start, _TG_LUT[fr_label], fr_band, fr_page))
     st = fr_start[order].astype(np.int64)
     cn = fr_count[order].astype(np.int64)
@@ -754,6 +749,75 @@ def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cst
         if len(li) == 0:
             return None
 
+    # span field arrays (before numbering so §8/§9 patches can edit)
+    cs = cstart[li].copy()
+    ce = (cs + s_len[li]).copy()
+    texts = strp_np[li]
+    spn_len = s_len[li].copy()  # post-merge span text lengths
+    if merged_src:
+        for j, i in merged_src.items():
+            pos = int(np.searchsorted(rl, j))
+            dc_line = int(st[i])
+            texts[pos] = strp_np[dc_line] + texts[pos]
+            cs[pos] = cstart[dc_line]
+            spn_len[pos] += s_len[dc_line]
+
+    # §9 overlap-argmax fragment adherence (SPEC §9), as a patch over
+    # the span arrays: fragments in TEXT regions merge into the big
+    # span with maximal column overlap (ties: index-nearest, then
+    # earliest); fragment spans are then excluded before numbering
+    drop_span = np.zeros(len(li), dtype=bool)
+    frag_mask = (spn_len <= cfg.small_fragment_max_len) & (lb[rl] == C_TEXT)
+    if frag_mask.any():
+        for t_r in np.unique(rl[frag_mask]):
+            a0 = int(np.searchsorted(rl, t_r))
+            a1 = int(np.searchsorted(rl, t_r, side="right"))
+            k = a1 - a0
+            sl = spn_len[a0:a1]
+            fa = lead[li[a0:a1]]
+            fe = fa + s_len[li[a0:a1]]
+            is_frag = sl <= cfg.small_fragment_max_len
+            bigs = [x for x in range(k) if not is_frag[x]]
+            if not bigs:
+                continue  # fragment-only region keeps its spans
+            pre = {x: [] for x in bigs}
+            suf = {x: [] for x in bigs}
+            for j in range(k):
+                if not is_frag[j]:
+                    continue
+                best, bo, bdist = bigs[0], -1, None
+                for x in bigs:
+                    ov = max(0, int(min(fe[j], fe[x])) - int(max(fa[j], fa[x])))
+                    dist = abs(j - x)
+                    if ov > bo or (ov == bo and dist < bdist):
+                        best, bo, bdist = x, ov, dist
+                (pre if j < best else suf)[best].append(j)
+                drop_span[a0 + j] = True
+            for x in bigs:
+                if not pre[x] and not suf[x]:
+                    continue
+                pos = a0 + x
+                if pre[x]:
+                    texts[pos] = (
+                        " ".join(texts[a0 + p] for p in pre[x]) + " " + texts[pos]
+                    )
+                    cs[pos] = cs[a0 + pre[x][0]]
+                if suf[x]:
+                    texts[pos] = (
+                        texts[pos] + " " + " ".join(texts[a0 + p] for p in suf[x])
+                    )
+                    ce[pos] = ce[a0 + suf[x][-1]]
+        if drop_span.any():
+            m = ~drop_span
+            li = li[m]
+            rl = rl[m]
+            cs = cs[m]
+            ce = ce[m]
+            texts = texts[m]
+            kept_per_region = np.bincount(rl, minlength=len(st))
+            if len(li) == 0:
+                return None
+
     # regions with zero surviving spans vanish before numbering
     ne = np.flatnonzero(kept_per_region > 0)
     pg_ne = pg[ne]
@@ -770,16 +834,6 @@ def _emit_fast(fr_start, fr_count, fr_label, fr_band, fr_page, pdf, strp_np, cst
     rt_lut[C_DROPCAP] = RT_DROPCAP  # unmerged dropcaps keep the spec type
     conv_vals = pdf["conv_id"].to_numpy()
     turn_vals = pdf["turn_idx"].to_numpy()
-    cs = cstart[li]
-    texts = strp_np[li]
-    ce = cs + s_len[li]
-    if merged_src:
-        cs = cs.copy()
-        for j, i in merged_src.items():
-            pos = int(np.searchsorted(rl, j))
-            dc_line = int(st[i])
-            texts[pos] = strp_np[dc_line] + texts[pos]
-            cs[pos] = cstart[dc_line]
     return pd.DataFrame(
         {
             "conv_id": conv_vals[span_page],
