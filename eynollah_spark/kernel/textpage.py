@@ -516,8 +516,9 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                     np.arange(WCAP, dtype=np.int64)[None, :] < lens_li[:, None]
                 )
                 # per-block column sums via cumsum + row gather (much
-                # faster than axis-0 reduceat)
-                csum = np.cumsum(ink, axis=0, dtype=np.int32)
+                # faster than axis-0 reduceat); F-order makes the
+                # axis-0 accumulation walk contiguous memory
+                csum = np.cumsum(np.asfortranarray(ink), axis=0, dtype=np.int32)
                 last = csum[reg_first + cn_s - 1].astype(np.int64)
                 prev = np.zeros_like(last)
                 nz_ = reg_first > 0
