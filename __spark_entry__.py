@@ -29,6 +29,7 @@ from eynollah_spark.operators import docpage, relational
 from eynollah_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
@@ -65,6 +66,7 @@ JACCARD_T = 0.2
 JACCARD_MAX_DF = 1000  # shingle doc-frequency cap (skew guard)
 MINHASH_N = 16
 MINHASH_BANDS = 4
+CLUSTER_T = 0.5  # near-dup clustering jaccard threshold
 SIMHASH_MAX_DIST = 8
 SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
 TOPK_K = 5
@@ -186,6 +188,16 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_N,
         bands=MINHASH_BANDS,
         threshold=JACCARD_T,
+    )
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_clusters(
+        _docs(spark, sf_dir),
+        k=JACCARD_K,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        threshold=CLUSTER_T,
     )
 
 
@@ -455,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_survivors": _q_curation_survivors,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash,
         # similarity search (ANN paths are md5-deterministic, so even
         # the approximate ones carry exact DuckDB oracles)
@@ -1012,8 +1025,7 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
     minhash_h = _h64sql("(CAST(i AS VARCHAR) || ':' || shingle)")
-    sql["minhash_lsh_pairs"] = f"""
-WITH {_SHINGLES_CTE},
+    minhash_ctes = f"""{_SHINGLES_CTE},
 mh AS (
   SELECT doc_id, i, min({minhash_h}) AS h
   FROM sh, (SELECT unnest(range({MINHASH_N})) AS i)
@@ -1029,10 +1041,38 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 ),
-{_JACCARD_SQL_BODY}
+{_JACCARD_SQL_BODY}"""
+
+    sql["minhash_lsh_pairs"] = f"""
+WITH {minhash_ctes}
 SELECT doc_a, doc_b, jaccard
 FROM cand JOIN jac USING (doc_a, doc_b)
 WHERE jaccard >= {JACCARD_T}
+"""
+
+    # near-dup clustering: connected components over the LSH pair
+    # graph — transitive min-label reachability as a recursive CTE,
+    # mirroring the Spark iterative label propagation exactly
+    sql["near_dup_clusters"] = f"""
+WITH RECURSIVE {minhash_ctes},
+pairsq AS (
+  SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b)
+  WHERE jaccard >= {CLUSTER_T}
+),
+edges AS (
+  SELECT CAST(doc_a AS BIGINT) AS s, CAST(doc_b AS BIGINT) AS d FROM pairsq
+  UNION ALL
+  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT) FROM pairsq
+),
+reach(node, lab) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.node
+),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cl
 """
 
     tok_h = _h64sql("tok")

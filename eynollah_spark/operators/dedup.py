@@ -234,6 +234,83 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# 3b. near-duplicate clustering (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate documents: MinHash-LSH pairs form an
+    undirected graph; connected components are computed by iterative
+    min-label propagation (each doc adopts the smallest doc_id
+    reachable through near-dup edges), the standard way to group
+    duplicates for keep-one-per-cluster curation at corpus scale.
+
+    Dataflow per iteration: one shuffle to propagate neighbor labels,
+    one join to merge — the large-scale connected-components shape
+    (driver only checks a convergence count). Iterations are bounded
+    by the component diameter, which for near-dup clusters is tiny;
+    ``max_iters`` is a hard backstop. Deterministic (md5-derived LSH),
+    so the DuckDB oracle reproduces it with a recursive CTE.
+
+    Returns (doc_id, cluster_id, cluster_size); singletons cluster to
+    themselves.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("doc_id").cast("bigint").alias("label"),
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            prop = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(prop, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        w = Window.partitionBy("label")
+        return labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+    finally:
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
 def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
