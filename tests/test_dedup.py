@@ -87,3 +87,21 @@ def test_partition_invariance(docs):
         map(tuple, ngram_jaccard_pairs(docs.repartition(16), threshold=0.5).collect())
     )
     assert a == b
+
+
+def test_near_dup_clusters_transitivity(spark):
+    """A ~ B and B ~ C (but A !~ C directly) must land in ONE cluster
+    labelled by the smallest doc_id — requires >1 propagation round."""
+    from eynollah_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b = base.replace("fox", "cat")
+    c = b.replace("dog", "owl")
+    rows = [(1, base), (2, b), (3, c), (9, "completely different content here entirely")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in near_dup_clusters(docs, threshold=0.45).collect()
+    }
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[9] == (9, 1)
