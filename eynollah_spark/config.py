@@ -78,6 +78,24 @@ class ExtractConfig:
     # without a separator rule
     band_blank_gap: int = 2
 
+    # --- per-region header majority vote (J8 analog,
+    # utils/__init__.py:799-858: a region is relabeled header when the
+    # header model's pixel mass >= its text mass AND the region is
+    # wide/short, w/h >= 1.3) ---
+    # only regions with at most this many lines can be relabeled (the
+    # short-and-wide shape gate in the text domain; every line must
+    # also fit header_max_len)
+    header_vote_max_lines: int = 2
+
+    # --- 1-D morphological closing (F3 analog,
+    # utils/__init__.py:1363-1393: erosion/dilation with data-scaled
+    # structuring elements bridges small interior gaps) ---
+    # off by default: a SINGLE blank line between two lines of the same
+    # run-forming class (text/marginalia/table) is relabeled to that
+    # class, bridging the runs into one region; >= 2 blanks never
+    # bridge (they are a real band split)
+    region_blank_bridge: bool = False
+
     # --- projection-based marginalia (utils/marginals.py:11-252) ---
     # an OUTER emitted column of a split block is marginalia when it is
     # narrow relative to the page (width <= frac * W), at most half as

@@ -391,6 +391,30 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             next_tab[:-1] = (cls[1:] == C_TABLE) & active[1:] & (page[1:] == page[:-1])
         cls[is_sep_l & prev_tab & next_tab] = C_TABLE
 
+    # §5c blank bridging (gated; F3 closing analog,
+    # utils/__init__.py:1363-1393): a SINGLE blank line between two
+    # same-class run-forming lines (text/marginalia/table, same page,
+    # both active) relabels to that class; candidates are computed
+    # simultaneously over the original classes, so a relabel never
+    # enables another
+    if cfg.region_blank_bridge and n > 2:
+        bl = active & (cls == C_BLANK)
+        prevc = cls[:-2]
+        bridgeable = (prevc == cls[2:]) & (
+            (prevc == C_TEXT) | (prevc == C_MARG) | (prevc == C_TABLE)
+        )
+        cand = np.zeros(n, dtype=bool)
+        cand[1:-1] = (
+            bl[1:-1]
+            & active[:-2]
+            & active[2:]
+            & (page[:-2] == page[2:])
+            & bridgeable
+        )
+        if cand.any():
+            ci = np.flatnonzero(cand)
+            cls[ci] = cls[ci - 1]
+
     # §5a bands: the gap-th consecutive blank and every separator line
     # advance the band counter for LATER lines (exclusive prefix)
     blank = active & (cls == C_BLANK)
@@ -433,6 +457,33 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     r_lo = np.searchsorted(starts, offsets[:-1])
     r_hi = np.searchsorted(starts, offsets[1:])
 
+    # §5h per-region header majority vote (J8 analog,
+    # utils/__init__.py:799-858): a short TEXT region whose MODEL-B
+    # (binarized — the dedicated header model analog) header-line
+    # character mass reaches its text mass relabels to ONE header
+    # region. Segment reductions over the region runs; the sentinel
+    # pad keeps end == n a legal reduceat index.
+    if len(starts):
+        reg_label = cls[starts]
+        idx2v = np.empty(2 * len(starts), dtype=np.int64)
+        idx2v[0::2] = starts
+        idx2v[1::2] = starts + counts
+        sentv = np.zeros(1, dtype=np.int64)
+        hline = np.where(cls_b == C_HEADER, s_len, 0)
+        hmass = np.add.reduceat(np.concatenate([hline, sentv]), idx2v)[0::2]
+        allmass = np.add.reduceat(np.concatenate([s_len, sentv]), idx2v)[0::2]
+        maxlen = np.maximum.reduceat(np.concatenate([s_len, sentv]), idx2v)[0::2]
+        vote = (
+            (reg_label == C_TEXT)
+            & (counts <= cfg.header_vote_max_lines)
+            & (maxlen <= cfg.header_max_len)
+            & (hmass > 0)
+            & (2 * hmass >= allmass)
+        )
+        reg_label[vote] = C_HEADER
+    else:
+        reg_label = np.zeros(0, dtype=np.int8)
+
     # ---- span-mode fast path: pages needing no column splits (the
     # large majority) emit entirely as numpy arrays — the §8
     # drop-capital merge and §9 fragment adherence are handled
@@ -443,7 +494,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     fast_df = None
     if not want_diag and n and not cfg.enable_line_split:
         r_page = page[starts]
-        r_label = cls[starts]
+        r_label = reg_label
         complex_page = np.zeros(P, dtype=bool)
         # §6/§6d pre-check only where the page is otherwise simple;
         # the full (shifts, sheared_profile, gutters) triple is cached
@@ -619,7 +670,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             continue
         regions = [
             [
-                _CODE_RT[cls[starts[r]]],
+                _CODE_RT[reg_label[r]],
                 int(band[starts[r]]),
                 int(starts[r]),
                 0,

@@ -204,6 +204,26 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
         def line_class(i: int) -> str:  # noqa: F811
             return eff[i]
 
+    # §5c blank bridging (gated; F3 closing analog,
+    # utils/__init__.py:1363-1393): a SINGLE blank line between two
+    # same-class run-forming lines is relabeled to that class;
+    # candidates come simultaneously from the ORIGINAL classes
+    if cfg.region_blank_bridge:
+        base = {i: line_class(i) for i in page_idx}
+        eff2 = dict(base)
+        for i in page_idx:
+            if base[i] == "blank":
+                p = base.get(i - 1)
+                if p is not None and p == base.get(i + 1) and p in (
+                    "text",
+                    "marginalia",
+                    "table",
+                ):
+                    eff2[i] = p
+
+        def line_class(i: int) -> str:  # noqa: F811
+            return eff2[i]
+
     # §5 regions and bands
     regions: list[_Region] = []
     band = 0
@@ -247,6 +267,31 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
             regions.append(_Region(RT_SEPARATOR, band, i, 0, [(i, -1, "")]))
             band += 1
     close()
+
+    # §5h per-region header majority vote (J8 analog,
+    # utils/__init__.py:799-858: region relabeled header when the
+    # header model's pixel mass >= its text mass and the region is
+    # wide/short): a short text region whose MODEL-B header-line
+    # character mass reaches its text mass becomes one header region
+    for r in regions:
+        if r.rtype != RT_TEXT:
+            continue
+        line_ids = [t[0] for t in r.spans]
+        if len(line_ids) > cfg.header_vote_max_lines:
+            continue
+        hm = tm = 0
+        ok = True
+        for i in line_ids:
+            s = lines[i].strip()
+            if len(s) > cfg.header_max_len:
+                ok = False
+                break
+            if cls_b.get(i) == "header":
+                hm += len(s)
+            else:
+                tm += len(s)
+        if ok and hm > 0 and hm >= tm:
+            r.rtype = RT_HEADER
 
     # --- §6 pre-pass: per-block deskew + gutters --------------------------
     block_res: dict[int, tuple] = {}  # region index -> (shifts, sh_prof, gutters)

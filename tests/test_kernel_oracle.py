@@ -83,9 +83,13 @@ def test_corpus_diag_agreement(seed):
 
 _token = st.sampled_from(
     # \x00/\x0b/\x1c probe padding-vs-ink and Python-vs-Arrow
-    # whitespace parity (a NUL in a gutter must count as ink)
+    # whitespace parity (a NUL in a gutter must count as ink);
+    # "§NOTE:"-shaped tokens compose with the §5h header vote (model B
+    # sees a header where model A sees text); the wide two-column token
+    # stacks into real gutters so §6/§6p/§5h interplay is fuzzed
     list("abcXYZ 019#*-=_[]:()`—–…©\x00\x0b\x1c")
-    + ["```", "[note:", "===", "(c)", "## "]
+    + ["```", "[note:", "===", "(c)", "## ", "§NOTE:", "§## ",
+       "aaaa    bbbb"]
 )
 _line = st.lists(_token, min_size=0, max_size=12).map("".join)
 
@@ -110,7 +114,10 @@ def _fuzz_cfg():
         from eynollah_spark.config import ExtractConfig
 
         _FUZZ_CFG = ExtractConfig(
-            enable_tables=True, enable_line_split=True, line_split_min_len=8
+            enable_tables=True,
+            enable_line_split=True,
+            line_split_min_len=8,
+            region_blank_bridge=True,
         )
     return _FUZZ_CFG
 
@@ -389,6 +396,105 @@ def test_nul_in_gutter_counts_as_ink():
     # single text region, one span per line, no column split
     assert {g[2] for g in got} == {0}
     assert [g[5] for g in got] == ["one \x00 two"] * 3
+
+
+def test_header_majority_vote_multiline():
+    """J8 fidelity (utils/__init__.py:799-858 analog): a 2-line heading
+    block — each line failing the per-line header regex on the ORIGINAL
+    text but model-B-header after binarization — is relabeled as ONE
+    header region by the per-region majority vote."""
+    text = (
+        "§SETUP: the env\n§USAGE: the cli\n\n"
+        "now a normal paragraph line follows here\nand another plain body line"
+    )
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+    assert [(g[1], g[2]) for g in got] == [
+        ("header", 0), ("header", 0), ("text", 1), ("text", 1)
+    ]
+    # offsets still index the original text (vote relabels, never edits)
+    assert got[0][3:5] == (0, 15) and got[1][3:5] == (16, 31)
+
+
+def test_header_vote_mass_and_shape_gates():
+    """The vote needs header mass >= text mass AND a short region:
+    a mixed region with a dominant body line stays text; a 3-line
+    region never votes even if all lines are model-B headers."""
+    mixed = (
+        "§SETUP: env\nthis is a much longer plain body line that outweighs it"
+        "\n\nbody paragraph here"
+    )
+    got = _kernel_spans([(mixed, "user")])[0]
+    assert got == _oracle_spans(mixed, "user")
+    assert all(g[1] == "text" for g in got)
+
+    # 3-line region: never votes even when every line is model-B header
+    # (extra body lines keep the §4 agreement gate above threshold)
+    tall = (
+        "§AAA: x\n§BBB: y\n§CCC: z\n\n"
+        "body paragraph line here\nsecond body paragraph line\n"
+        "third body paragraph line\nfourth body paragraph line"
+    )
+    got2 = _kernel_spans([(tall, "user")])[0]
+    assert got2 == _oracle_spans(tall, "user")
+    assert all(g[1] == "text" for g in got2)
+
+
+def test_header_vote_noop_when_gate_chose_model_b():
+    """When the §4 gate already selected model B, model-B header lines
+    are singleton header regions and text regions carry no B-header
+    mass — the vote is a structural no-op (still byte-equal)."""
+    # heavily non-ASCII page: agreement ratio collapses, gate flips to B
+    text = "§§§ ¶¶\n§NOTE: one\n§¶ twø wörds hére\n§¶ more ink ¶¶"
+    got = _kernel_spans([(text, "user")])[0]
+    assert got == _oracle_spans(text, "user")
+
+
+def test_blank_bridge_mode():
+    """F3 closing analog (utils/__init__.py:1363-1393), gated: a single
+    interior blank line bridges two same-class text runs into one
+    region; two blanks never bridge; default mode is unchanged."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(region_blank_bridge=True)
+
+    def spans(text, c=None):
+        pdf = pd.DataFrame(
+            {"conv_id": ["c"], "turn_idx": [0], "role": ["user"], "text": [text]}
+        )
+        out = analyze_turns_batch(pdf, LineModel(c) if c else None)
+        return [
+            (int(t.span_idx), t.region_type, int(t.region_seq),
+             int(t.char_start), int(t.char_end), t.text)
+            for t in out.itertuples(index=False)
+        ]
+
+    def oracle(text, c=None):
+        spans_ = analyze_turn_naive(text, "user", c) if c else analyze_turn_naive(text, "user")
+        return [
+            (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+            for s in spans_
+        ]
+
+    one = "first text line here\n\nsecond text line here"
+    got = spans(one, cfg)
+    assert got == oracle(one, cfg)
+    assert [g[2] for g in got] == [0, 0]  # bridged: one region
+    off = spans(one)
+    assert off == oracle(one)
+    assert [g[2] for g in off] == [0, 1]  # default: two regions
+
+    two = "first text line here\n\n\nsecond text line here"
+    got2 = spans(two, cfg)
+    assert got2 == oracle(two, cfg)
+    assert [g[2] for g in got2] == [0, 1]  # >= 2 blanks: real split
+
+    # a blank between DIFFERENT classes never bridges
+    mixed = "plain text body line\n\n[note: a margin note]"
+    got3 = spans(mixed, cfg)
+    assert got3 == oracle(mixed, cfg)
+    assert [g[1] for g in got3] == ["text", "marginalia"]
 
 
 def test_empty_and_degenerate():
