@@ -105,17 +105,26 @@ class ExtractConfig:
 
     # --- curved-line splitting (separate_lines.py:128-673, the -cl
     # mode; gated like the reference's CLI flag) ---
-    # off by default: long spans are subdivided at wide internal gaps
-    # (the 1-D analog of splitting a curved textline at the valleys of
-    # its own projection profile)
+    # off by default: long spans are subdivided at the smoothed VALLEYS
+    # of their own char-ink profile — the same integer-gaussian valley
+    # machinery as §6, run per span (splitting a curved textline at the
+    # valleys of its own projection profile, separate_lines.py:128-673)
     enable_line_split: bool = False
     # only spans at least this long are candidates
     line_split_min_len: int = 80
-    # an internal run of >= this many spaces splits the span...
+    # minimum width (in spaces) of a candidate valley run
     line_split_gap: int = 2
-    # ...widened for longer spans: gap += len(text) // line_split_scale
-    # (the data-dependent-sigma analog, separate_lines.py:240-265)
+    # smoothing sigma, scaled with span length (the data-dependent-
+    # sigma analog, separate_lines.py:240-265):
+    # sigma = line_split_sigma * min(1 + L // line_split_scale,
+    #                                line_split_max_scale)
+    line_split_sigma: float = 1.0
     line_split_scale: int = 160
+    line_split_max_scale: int = 8
+    # a candidate run splits only if its minimum smoothed ink is <=
+    # this fraction of the span's smoothed max (longer spans smooth
+    # wider, so narrow gaps stop qualifying — the data-dependent gap)
+    line_split_rel_depth: float = 0.40
 
     # --- table mode (M10 analog, eynollah.py:1841-1941; gated like the
     # reference's -tab flag, cli.py) ---

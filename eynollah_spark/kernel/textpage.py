@@ -914,10 +914,11 @@ _CODE_RT = {
 
 def _split_long_spans(spans, cfg: ExtractConfig):
     """SPEC §9L curved-line splitting (-cl mode analog,
-    separate_lines.py:128-673): spans of at least line_split_min_len
-    subdivide at maximal internal runs of >= gap spaces, where gap
-    widens with span length (the data-dependent-sigma analog). Only
-    active when cfg.enable_line_split."""
+    separate_lines.py:128-673): long spans subdivide at the smoothed
+    VALLEYS of their own char-ink profile — the §6 integer-gaussian
+    valley machinery run per span, with sigma scaled by span length
+    (the data-dependent-sigma analog, separate_lines.py:240-265).
+    Only active when cfg.enable_line_split."""
     out = []
     for sp in spans:
         cs, ce, text, ca, cb = sp
@@ -925,22 +926,41 @@ def _split_long_spans(spans, cfg: ExtractConfig):
         if L < cfg.line_split_min_len:
             out.append(sp)
             continue
-        gap = cfg.line_split_gap + L // cfg.line_split_scale
+        sigma = cfg.line_split_sigma * min(
+            1 + L // cfg.line_split_scale, cfg.line_split_max_scale
+        )
+        v = _ink_row(text)
+        sm = _smooth_profile(v.astype(np.int64), sigma)
+        max_s = int(sm.max()) if L else 0
+        cuts = []
+        if max_s > 0:
+            rel_pct = int(round(cfg.line_split_rel_depth * 100))
+            peak_pct = int(round(cfg.gutter_peak_frac * 100))
+            p = 0
+            while p < L:
+                if text[p] == " ":
+                    q = p
+                    while q + 1 < L and text[q + 1] == " ":
+                        q += 1
+                    if q - p + 1 >= cfg.line_split_gap:
+                        depth = int(sm[p : q + 1].min())
+                        if depth * 100 <= rel_pct * max_s:
+                            left = int(sm[:p].max()) if p > 0 else 0
+                            right = int(sm[q + 1 :].max()) if q + 1 < L else 0
+                            if min(left, right) * 100 >= peak_pct * max_s:
+                                cuts.append((p, q))
+                    p = q + 1
+                else:
+                    p += 1
+        if not cuts:
+            out.append(sp)
+            continue
         pieces = []
         last_end = 0
-        i = 0
-        while i < L:
-            if text[i] == " ":
-                j = i
-                while j < L and text[j] == " ":
-                    j += 1
-                if j - i >= gap:
-                    if i > last_end:
-                        pieces.append((last_end, i))
-                    last_end = j
-                i = j
-            else:
-                i += 1
+        for a, b in cuts:
+            if a > last_end:
+                pieces.append((last_end, a))
+            last_end = b + 1
         if last_end < L:
             pieces.append((last_end, L))
         if len(pieces) <= 1:

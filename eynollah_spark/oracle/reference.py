@@ -703,7 +703,8 @@ def _choose_shear_naive(block: list[str], cfg: ExtractConfig):
 
 def _split_long_spans_naive(spans, cfg: ExtractConfig):
     """SPEC §9L curved-line splitting, naive form: long spans split at
-    maximal internal runs of >= gap spaces; gap widens with length."""
+    the smoothed valleys of their own char-ink profile (the §6 valley
+    machinery per span; sigma scales with span length)."""
     out = []
     for sp in spans:
         cs, ce, text, ca, cb = sp
@@ -711,22 +712,41 @@ def _split_long_spans_naive(spans, cfg: ExtractConfig):
         if L < cfg.line_split_min_len:
             out.append(sp)
             continue
-        gap = cfg.line_split_gap + L // cfg.line_split_scale
+        sigma = cfg.line_split_sigma * min(
+            1 + L // cfg.line_split_scale, cfg.line_split_max_scale
+        )
+        prof = [0 if ch == " " else 1 for ch in text]
+        sm = _smooth_profile_naive(prof, sigma)
+        max_s = max(sm) if sm else 0
+        rel_pct = int(round(cfg.line_split_rel_depth * 100))
+        peak_pct = int(round(cfg.gutter_peak_frac * 100))
+        cuts = []
+        if max_s > 0:
+            p = 0
+            while p < L:
+                if text[p] == " ":
+                    q = p
+                    while q + 1 < L and text[q + 1] == " ":
+                        q += 1
+                    if q - p + 1 >= cfg.line_split_gap:
+                        depth = min(sm[x] for x in range(p, q + 1))
+                        if depth * 100 <= rel_pct * max_s:
+                            left = max(sm[:p]) if p > 0 else 0
+                            right = max(sm[q + 1 :]) if q + 1 < L else 0
+                            if min(left, right) * 100 >= peak_pct * max_s:
+                                cuts.append((p, q))
+                    p = q + 1
+                else:
+                    p += 1
+        if not cuts:
+            out.append(sp)
+            continue
         pieces = []
         last_end = 0
-        i = 0
-        while i < L:
-            if text[i] == " ":
-                j = i
-                while j < L and text[j] == " ":
-                    j += 1
-                if j - i >= gap:
-                    if i > last_end:
-                        pieces.append((last_end, i))
-                    last_end = j
-                i = j
-            else:
-                i += 1
+        for a, b in cuts:
+            if a > last_end:
+                pieces.append((last_end, a))
+            last_end = b + 1
         if last_end < L:
             pieces.append((last_end, L))
         if len(pieces) <= 1:

@@ -367,11 +367,12 @@ def test_curved_line_split_mode():
 
 
 def test_curved_line_split_gap_scales_with_length():
-    """Data-dependent gap: a 2-space gap splits a ~90-char span but NOT
-    a >=160-char span (gap widens to 3)."""
+    """Data-dependent sigma: a 2-space gap splits a ~90-char span but
+    NOT a >=160-char span (sigma doubles, so the smoothed valley is no
+    longer deep enough); a 4-space gap still splits it."""
     from eynollah_spark.oracle.reference import analyze_turn_naive
 
-    long_text = "x" * 100 + "  " + "y" * 100  # 202 chars, gap=3 needed
+    long_text = "x" * 100 + "  " + "y" * 100  # 202 chars: sigma=2
     got, cfg = _cl_kernel_spans(long_text)
     want = [
         (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
@@ -379,9 +380,39 @@ def test_curved_line_split_gap_scales_with_length():
     ]
     assert got == want
     assert [g[5] for g in got] == [long_text]
-    wide = "x" * 100 + "   " + "y" * 100  # 3-space gap splits
+    wide = "x" * 100 + "    " + "y" * 100  # 4-space valley qualifies
     got2, _ = _cl_kernel_spans(wide)
+    want2 = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(wide, "user", cfg)
+    ]
+    assert got2 == want2
     assert [g[5] for g in got2] == ["x" * 100, "y" * 100]
+
+
+def test_curved_line_split_prominence_keeps_sliver():
+    """Two-sided prominence: a trailing 1-char sliver after a gap has
+    no right-side ink peak — the span stays whole; a real right piece
+    splits."""
+    from eynollah_spark.oracle.reference import analyze_turn_naive
+
+    sliver = "x" * 80 + "  " + "y"
+    got, cfg = _cl_kernel_spans(sliver)
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(sliver, "user", cfg)
+    ]
+    assert got == want
+    assert [g[5] for g in got] == [sliver]
+
+    real = "x" * 80 + "  " + "y" * 10
+    got2, _ = _cl_kernel_spans(real)
+    want2 = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(real, "user", cfg)
+    ]
+    assert got2 == want2
+    assert [g[5] for g in got2] == ["x" * 80, "y" * 10]
 
 
 def test_nul_in_gutter_counts_as_ink():
