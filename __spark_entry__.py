@@ -69,6 +69,7 @@ MINHASH_BANDS = 4
 CLUSTER_T = 0.5  # near-dup clustering jaccard threshold
 SIMHASH_MAX_DIST = 8
 SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
+SIMHASH_MAX_BAND_FREQ = 1000  # per-band hot-bucket cap (skew guard)
 TOPK_K = 5
 TOPK_QUERY_MAX_ID = 8  # queries = vec_id < 8
 LINES_PER_TURN = 4
@@ -206,6 +207,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         max_distance=SIMHASH_MAX_DIST,
         min_tokens=SIMHASH_MIN_TOKENS,
+        max_band_freq=SIMHASH_MAX_BAND_FREQ,
     )
 
 
@@ -1107,19 +1109,25 @@ banded AS (
          (s >> 32) & 65535 AS band2, (s >> 48) & 65535 AS band3
   FROM sig
 ),
+-- per-band hot-bucket cap (mirror of max_band_freq): docs in a band
+-- bucket larger than the cap drop out of THAT band's self-join only
+bc0 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band0) AS bf FROM banded) WHERE bf <= {SIMHASH_MAX_BAND_FREQ}),
+bc1 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band1) AS bf FROM banded) WHERE bf <= {SIMHASH_MAX_BAND_FREQ}),
+bc2 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band2) AS bf FROM banded) WHERE bf <= {SIMHASH_MAX_BAND_FREQ}),
+bc3 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band3) AS bf FROM banded) WHERE bf <= {SIMHASH_MAX_BAND_FREQ}),
 cand AS (
   SELECT DISTINCT doc_a, doc_b, sa, sb FROM (
     SELECT a.doc_id doc_a, b.doc_id doc_b, a.s sa, b.s sb
-    FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+    FROM bc0 a JOIN bc0 b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
     UNION ALL
     SELECT a.doc_id, b.doc_id, a.s, b.s
-    FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    FROM bc1 a JOIN bc1 b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
     UNION ALL
     SELECT a.doc_id, b.doc_id, a.s, b.s
-    FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    FROM bc2 a JOIN bc2 b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
     UNION ALL
     SELECT a.doc_id, b.doc_id, a.s, b.s
-    FROM banded a JOIN banded b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+    FROM bc3 a JOIN bc3 b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
   )
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

@@ -112,11 +112,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row per doc WITH shingles — unbounded at corpus
+    # scale, so no broadcast hint: AQE picks broadcast-vs-shuffle from
+    # the measured size at runtime (same decision minhash_lsh_pairs
+    # already delegates for its candidate set)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -259,8 +263,24 @@ def near_dup_clusters(
     so the DuckDB oracle reproduces it with a recursive CTE.
 
     Returns (doc_id, cluster_id, cluster_size); singletons cluster to
-    themselves.
+    themselves. The returned frame is localCheckpoint-materialized
+    (lineage truncated to the checkpointed labels), and every
+    operator-internal cache is unpersisted before returning.
+
+    ``doc_id`` must be a numeric column: labels are propagated as
+    bigint, and a silent string->NULL cast would corrupt every
+    cluster. Hash string ids to bigint deterministically (e.g.
+    ``conv(substring(md5(id),1,15),16,10)``) before calling.
     """
+    import warnings
+
+    id_type = dict(df.dtypes).get("doc_id", "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"near_dup_clusters requires a numeric doc_id (got {id_type!r}): "
+            "a string id would cast to NULL and corrupt labels; hash it to "
+            "bigint first"
+        )
     pairs = minhash_lsh_pairs(
         df, text_col, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
     )
@@ -273,22 +293,25 @@ def near_dup_clusters(
         F.col("doc_id").cast("bigint").alias("label"),
     ).persist()
     try:
-        for _ in range(max_iters):
+        changed = 1
+        for it in range(max_iters):
             prop = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = (
-                labels.join(prop, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce("nlabel", F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
+            new_labels = labels.join(prop, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
             )
+            if (it + 1) % 5 == 0:
+                # truncate the one-join-per-round lineage so analysis
+                # time and task closures stay bounded on deep chains
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -300,14 +323,27 @@ def near_dup_clusters(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # non-transitive output would silently diverge from the
+            # recursive-CTE oracle — surface it (components with a
+            # >max_iters-hop min-label distance are pathological but
+            # possible in templated near-dup chains)
+            warnings.warn(
+                f"near_dup_clusters did not converge in {max_iters} "
+                "iterations; clusters may be split (raise max_iters)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         w = Window.partitionBy("label")
-        return labels.select(
+        out = labels.select(
             "doc_id",
             F.col("label").alias("cluster_id"),
             F.count(F.lit(1)).over(w).alias("cluster_size"),
-        )
+        ).localCheckpoint(eager=True)
+        return out
     finally:
         edges.unpersist()
+        labels.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +385,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) ->
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str = "text", max_distance: int = 8,
     min_tokens: int = 3,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, LSH-bucketed by
     16-bit bands (a pair within distance d collides in >= 1 of 4 bands
@@ -358,8 +395,16 @@ def simhash_hamming_pairs(
     ``min_tokens`` excludes near-empty documents from banding: their
     vote sums hover near zero, so they pile into one degenerate
     signature bucket whose self-join is quadratic at corpus scale —
-    and a <3-token doc can't be a *meaningful* near-dup anyway. The
-    DuckDB oracle mirrors the same filter."""
+    and a <3-token doc can't be a *meaningful* near-dup anyway.
+
+    ``max_band_freq`` bounds the other quadratic blow-up: a templated
+    corpus where millions of docs share one 16-bit band value makes
+    that band's self-join O(bucket^2). Docs in a band bucket larger
+    than the cap are dropped FROM THAT BAND only (they still pair
+    through their other three bands — the standard hot-bucket skip of
+    banded LSH), so the worst-case fan-out per bucket is bounded by
+    max_band_freq^2. The DuckDB oracle mirrors both knobs. Pass None
+    for uncapped small-scale semantics."""
     toks = F.split(F.col(text_col), r"\s+")
     eligible = df.filter(
         F.size(F.filter(toks, lambda t: F.length(t) > 0)) >= min_tokens
@@ -373,8 +418,18 @@ def simhash_hamming_pairs(
     banded = sigl.select("doc_id", "s", *bandcols)
     pairs = None
     for b in range(4):
-        a_ = banded.alias("a")
-        b_ = banded.alias("b")
+        src = banded
+        if max_band_freq is not None:
+            # bucket-size window keyed on the same column the
+            # self-join shuffles on, so the exchange is reusable
+            wb = Window.partitionBy(f"band{b}")
+            src = (
+                banded.withColumn("_bf", F.count(F.lit(1)).over(wb))
+                .filter(F.col("_bf") <= max_band_freq)
+                .drop("_bf")
+            )
+        a_ = src.alias("a")
+        b_ = src.alias("b")
         p = a_.join(
             b_,
             (F.col(f"a.band{b}") == F.col(f"b.band{b}"))

@@ -89,6 +89,76 @@ def test_partition_invariance(docs):
     assert a == b
 
 
+def test_jaccard_plan_has_no_broadcast_hint(docs):
+    """Scale guard: the per-doc sizes table is unbounded at corpus
+    scale — the plan must carry NO broadcast hint (AQE decides from
+    measured sizes at runtime)."""
+    plan = ngram_jaccard_pairs(docs)._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
+
+
+def test_simhash_band_cap_drops_hot_buckets(spark):
+    """max_band_freq: docs in a hot band bucket pair only through
+    their other bands; with cap=1 identical docs (hot in ALL bands)
+    produce no pairs, with the default cap they do."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert simhash_hamming_pairs(docs, max_band_freq=1).count() == 0
+    assert simhash_hamming_pairs(docs).count() == 10  # all 5-choose-2
+
+
+def test_near_dup_clusters_requires_numeric_doc_id(spark):
+    from eynollah_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [("a", "some text here")], ["doc_id", "text"]
+    )
+    with pytest.raises(TypeError, match="numeric doc_id"):
+        near_dup_clusters(docs)
+
+
+def test_near_dup_clusters_warns_when_unconverged(spark):
+    """A 3-hop chain cannot converge in one iteration — the operator
+    must say so instead of silently emitting split clusters."""
+    import warnings as w
+
+    from eynollah_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b = base.replace("fox", "cat")
+    c = b.replace("dog", "owl")
+    docs = spark.createDataFrame(
+        [(5, base), (6, b), (7, c)], ["doc_id", "text"]
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        near_dup_clusters(docs, threshold=0.45, max_iters=1).collect()
+
+
+def test_near_dup_clusters_no_persisted_leftovers(spark):
+    """Operator hygiene: after the call returns, the only persistent
+    RDD added is the returned frame's own checkpoint — every internal
+    cache (edges, per-iteration labels) is released."""
+    import time
+
+    from eynollah_spark.operators.dedup import near_dup_clusters
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee gg"),
+         (3, "totally different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    out = near_dup_clusters(docs, threshold=0.3)
+    out.collect()
+    for _ in range(50):  # unpersist is async; poll briefly
+        delta = jsc.getPersistentRDDs().size() - before
+        if delta <= 1:
+            break
+        time.sleep(0.1)
+    assert delta <= 1
+
+
 def test_near_dup_clusters_transitivity(spark):
     """A ~ B and B ~ C (but A !~ C directly) must land in ONE cluster
     labelled by the smallest doc_id — requires >1 propagation round."""
