@@ -106,13 +106,21 @@ class BucketedSpanSink:
     # --- read -------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         done = sorted(self.done_buckets())
+        if not done:
+            # nothing was ever committed — a read here is a caller bug
+            raise FileNotFoundError(f"no committed buckets under {self.root}")
         paths = [
             p
             for b in done
             if os.path.isdir(p := os.path.join(self.data_dir, f"_bucket={b}"))
         ]  # committed-but-empty buckets have no directory
         if not paths:
-            raise FileNotFoundError(f"no committed buckets under {self.root}")
+            # buckets WERE committed but every one was empty (no rows
+            # hashed into them): a committed-empty result is an empty
+            # frame with the span schema, not an error
+            from eynollah_spark.operators.extract import SPAN_SCHEMA
+
+            return spark.createDataFrame([], SPAN_SCHEMA)
         return spark.read.parquet(*paths)
 
 

@@ -41,6 +41,11 @@ from eynollah_spark.config import (
     SEP_CHARS,
 )
 
+# blocks longer than this bypass the vectorized int64 LS-slope gate
+# (cn * sk2 ~ cn^4/12 wraps past ~2^21 lines) and use Python's exact
+# integer arithmetic instead
+_LS_GATE_MAX_LINES = 1 << 20
+
 # integer line classes (pixel-code analog, eynollah.py:1269-1282)
 C_BLANK, C_SEP, C_MARG, C_HEADER, C_DROPCAP, C_TEXT = 0, 1, 2, 3, 4, 5
 # assigned outside the classifier:
@@ -534,6 +539,17 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             A_e = cn_e * sky - sk * sy
             B_e = cn_e * sk2 - sk * sk
             skewed = (B_e > 0) & (np.abs(A_e) >= cfg.slope_threshold * B_e)
+            # int64 wraps around cn ~ 2^21 lines (cn * sk2 ~ cn^4/12);
+            # recompute such blocks' gate with Python's arbitrary-
+            # precision ints — same arithmetic as the per-page path
+            # and the oracle
+            oversize = np.flatnonzero(cn_e > _LS_GATE_MAX_LINES)
+            for j in oversize:
+                st_j, cn_j = int(st_e[j]), int(cn_e[j])
+                A, B = _ls_slope_int(
+                    [int(v) for v in lstr_len[st_j : st_j + cn_j]]
+                )
+                skewed[j] = B > 0 and abs(A) >= cfg.slope_threshold * B
 
             # batched profiles: all straight, narrow blocks share ONE
             # UTF-32 grid + reduceat per chunk instead of per-block

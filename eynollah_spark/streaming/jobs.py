@@ -53,6 +53,11 @@ EVENT_SCHEMA = StructType(
 )
 
 SESSION_GAP_S = 1800
+# dormant per-user seq state is kept this long after a session closes,
+# then garbage-collected (the user restarts at seq 1 afterwards) —
+# bounds streaming state by ACTIVE users within the horizon, not by
+# the all-time distinct-user count
+SESSION_GC_HORIZON_S = 30 * 86400
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -110,12 +115,22 @@ def _session_fn(
     (user_id,) = key
     if state.hasTimedOut:
         seq, n, vs, last = state.get
-        # Keep the NEXT session's seq in state instead of remove():
-        # a removed state would restart the user at seq 1 and re-emit
-        # already-used (user_id, session_seq) keys. The dormant state
-        # (4 scalars) is bounded by distinct users; no timeout is
-        # re-armed, so it stays put until the user's next event.
+        if n == 0 and last is None:
+            # the GC timeout fired on an already-dormant state: no
+            # session to close — drop the state entirely, bounding
+            # state by users active within SESSION_GC_HORIZON_S. The
+            # user restarts at seq 1 after the horizon (the accepted
+            # seq-continuity tradeoff; continuity within the horizon
+            # is preserved by the dormant record below).
+            state.remove()
+            return
+        # Keep the NEXT session's seq in a dormant record instead of
+        # remove(): a removed state would restart the user at seq 1
+        # and re-emit already-used (user_id, session_seq) keys. A long
+        # GC timeout is re-armed so the dormant record itself is
+        # eventually collected (see above).
         state.update((seq + 1, 0, 0.0, None))
+        state.setTimeoutDuration(SESSION_GC_HORIZON_S * 1000)
         if n > 0:
             yield pd.DataFrame(
                 {"user_id": [user_id], "session_seq": [seq], "n_events": [n],

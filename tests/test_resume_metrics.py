@@ -1,6 +1,7 @@
 """Resume-from-checkpoint and metrics tests (SURVEY §5 graft strategy 5)."""
 
 import pandas as pd
+import pytest
 
 from eynollah_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA, CorpusSpec, generate_local
 from eynollah_spark.io.sinks import BucketedSpanSink, filter_pending_turns
@@ -73,3 +74,52 @@ def test_partition_metrics_table(spark):
         "bytes_parsed",
         "committed_at",
     }
+
+
+def test_sink_read_committed_empty_returns_empty_frame(spark, tmp_path):
+    """Committed-but-empty buckets are a legitimate empty result (an
+    empty frame with the span schema), not a FileNotFoundError; a sink
+    with NO commits at all still raises."""
+    from eynollah_spark.operators.extract import SPAN_SCHEMA, extract_spans
+
+    sink = BucketedSpanSink(str(tmp_path / "out"), n_buckets=4, run_tag="r1")
+    with pytest.raises(FileNotFoundError):
+        sink.read(spark)
+
+    empty_turns = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string"
+    )
+    committed = sink.write(extract_spans(empty_turns))
+    assert sorted(committed) == [0, 1, 2, 3]
+    got = sink.read(spark)
+    assert got.count() == 0
+    assert got.schema == SPAN_SCHEMA
+
+
+def test_ls_gate_oversize_fallback(monkeypatch):
+    """Blocks past _LS_GATE_MAX_LINES route the deskew gate through
+    Python's exact integers — output must stay byte-equal to the
+    oracle (here forced low so the fallback path actually runs)."""
+    import pandas as pd
+
+    from eynollah_spark.kernel import textpage
+    from eynollah_spark.kernel.textpage import analyze_turns_batch
+    from eynollah_spark.oracle.reference import analyze_turn_naive
+
+    monkeypatch.setattr(textpage, "_LS_GATE_MAX_LINES", 2)
+    body = "aaaaaaaaaa   bbbbbbbbbb"
+    text = "\n".join(" " * k + body for k in range(5))  # skewed 2-col
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": ["user"], "text": [text]}
+    )
+    got = [
+        (int(t.span_idx), t.region_type, int(t.region_seq), int(t.char_start),
+         int(t.char_end), t.text)
+        for t in analyze_turns_batch(pdf).itertuples(index=False)
+    ]
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user")
+    ]
+    assert got == want
+    assert [g[5] for g in got] == ["aaaaaaaaaa"] * 5 + ["bbbbbbbbbb"] * 5

@@ -153,6 +153,21 @@ def test_session_fn_seq_survives_timeout():
     assert out == []
     assert state._v[0] == 2
 
+    # close session 2 -> dormant record (seq 3) with the GC timeout
+    state.hasTimedOut = True
+    out = list(_session_fn((7,), iter([]), state))
+    assert len(out) == 1 and out[0]["session_seq"].tolist() == [2]
+    assert state.exists and state._v == (3, 0, 0.0, None)
+    # the GC timeout fires on the dormant record: state is REMOVED
+    # (bounded by active users), nothing emitted
+    out = list(_session_fn((7,), iter([]), state))
+    assert out == []
+    assert not state.exists
+    # after the horizon the user restarts at seq 1 (accepted tradeoff)
+    state.hasTimedOut = False
+    out = list(_session_fn((7,), iter([batch(20_000)]), state))
+    assert out == [] and state._v[0] == 1
+
 
 def test_stream_extract_matches_batch(spark, tmp_path):
     from eynollah_spark.fixtures.transcripts import CorpusSpec, generate_spark
