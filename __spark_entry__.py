@@ -430,6 +430,24 @@ def _q_extract_spans_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_spans_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction family with an EXACT SQL oracle: in
+    'simple mode' (max_columns=1 -> no column splits/deskew effects/
+    page-column mode; small_fragment_max_len=0 -> no fragment
+    adherence) the kernel degenerates to border strip + fences +
+    two-model classify/gate + header vote + bands/region runs +
+    reading order + drop-capital merge + conversation windows — all of
+    which IS SQL-expressible, giving the driver an independent
+    hash-checked signal on the extraction path (the full kernel stays
+    gated by the fixture/fuzz pytest suites)."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=1, small_fragment_max_len=0),
+    )
+
+
 def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
@@ -482,8 +500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
-        # the eynollah graft itself — rows-only here; per-turn equality
-        # is gated by the fixture pytest suite (tests/test_extract_e2e.py)
+        # the eynollah graft itself. extract_spans_simple carries an
+        # exact SQL oracle (the SQL-expressible kernel degeneration);
+        # the full-kernel variants are rows-only here — per-turn
+        # equality is gated by the fixture pytest suite
+        # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
+        "extract_spans_simple": _q_extract_spans_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
         "extract_spans_tables": _q_extract_spans_tables,
@@ -1307,7 +1329,251 @@ SELECT conv_id, turn_idx,
 FROM turns
 """
 
-    # extract_spans*, page_diags, multimodal: rows-only by design (the
-    # kernel's gate is the fixture-equality pytest suite; multimodal
-    # decode is stubbed pending image/audio libs)
+    # extract_spans_simple: the FULL simple-mode kernel (SPEC minus the
+    # config-disabled column/fragment machinery) in one DuckDB query —
+    # border strip (SPEC §2), fences (§3), two-model classify + gate
+    # (§4), bands/region runs (§5), header majority vote (§5h),
+    # reading order (§7), drop-capital merge (§8), emission (§10) and
+    # the conversation-level windows. Constants mirror ExtractConfig
+    # defaults: border_scan_lines=3, binarize_retry_threshold=40.0,
+    # header_max_len=60, header_vote_max_lines=2, band_blank_gap=2,
+    # separator_min_len=3; LINES_PER_TURN=4, TOKENS_PER_LINE=8.
+    def _cls_case(c: str) -> str:
+        return (
+            "CASE WHEN {c} = '' THEN 'blank' "
+            "WHEN length({c}) >= 3 AND regexp_full_match({c}, '[-*=_—–~]+') "
+            "THEN 'separator' "
+            "WHEN {c} LIKE '[note:%' AND {c} LIKE '%]' THEN 'marginalia' "
+            "WHEN length({c}) <= 60 AND "
+            "regexp_matches({c}, '^(#{1,6} |[A-Z][A-Z0-9_]{2,11}:)') "
+            "THEN 'header' "
+            "WHEN length({c}) = 1 AND {c} >= 'A' AND {c} <= 'Z' THEN 'dropcap' "
+            "ELSE 'text' END"
+        ).replace("{c}", c)
+
+    sql["extract_spans_simple"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+linelists AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(tk) / 8.0) AS INT)),
+                        i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+  FROM toks
+),
+l0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+         unnest(ls) AS line
+  FROM linelists
+),
+tl AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // 4 AS INT) AS turn_idx,
+         CAST(line_idx % 4 AS INT) AS tli,
+         line
+  FROM l0
+),
+ft AS (
+  SELECT conv_id, turn_idx, tli, line,
+         length(line) AS rlen,
+         length(line) - length(ltrim(line, ' ')) AS lead,
+         trim(line, ' ') AS s,
+         trim(regexp_replace(line, '[^\\x00-\\x7F]', '', 'g'), ' ') AS bs
+  FROM tl
+),
+ft2 AS (  -- char offset of each line within its turn text (SPEC §0)
+  SELECT *,
+         coalesce(sum(rlen + 1) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_start
+  FROM ft
+),
+cl AS (
+  SELECT *,
+         length(s) AS slen,
+         CASE WHEN length(s) >= 6 AND s LIKE '===%' AND s LIKE '%===' THEN 1 ELSE 0 END AS is_banner,
+         CASE WHEN s LIKE '(c)%' OR s LIKE '©%' OR s LIKE 'Legal:%' THEN 1 ELSE 0 END AS is_footer,
+         CASE WHEN s LIKE '```%' THEN 1 ELSE 0 END AS is_fence,
+         __CLS_A__ AS cls_a,
+         __CLS_B__ AS cls_b
+  FROM ft2
+),
+bd AS (  -- SPEC §2 border: first banner in the first 3 lines
+  SELECT conv_id, turn_idx, count(*) AS n,
+         coalesce(min(CASE WHEN is_banner = 1 AND tli < 3 THEN tli END) + 1, 0) AS lo0
+  FROM cl GROUP BY conv_id, turn_idx
+),
+bd2 AS (  -- first footer in the trailing window [max(lo, n-3), n)
+  SELECT b.conv_id, b.turn_idx, b.n, b.lo0,
+         coalesce(min(CASE WHEN c.is_footer = 1
+                            AND c.tli >= greatest(b.lo0, b.n - 3) THEN c.tli END),
+                  b.n) AS hi0
+  FROM bd b JOIN cl c USING (conv_id, turn_idx)
+  GROUP BY b.conv_id, b.turn_idx, b.n, b.lo0
+),
+al AS (
+  SELECT c.*, b.lo0, b.hi0 FROM cl c JOIN bd2 b USING (conv_id, turn_idx)
+  WHERE c.tli >= b.lo0 AND c.tli < b.hi0
+),
+fn AS (  -- SPEC §3 fence parity (exclusive prefix of markers)
+  SELECT *,
+         coalesce(sum(is_fence) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2
+           AS in_fence_before
+  FROM al
+),
+gt AS (  -- SPEC §4 agreement gate
+  SELECT conv_id, turn_idx,
+         CASE WHEN count(*) FILTER (WHERE is_fence = 0 AND in_fence_before = 0) = 0
+              THEN 100.0
+              ELSE 100.0 * count(*) FILTER (WHERE is_fence = 0 AND in_fence_before = 0
+                                              AND cls_a = cls_b)
+                   / count(*) FILTER (WHERE is_fence = 0 AND in_fence_before = 0)
+         END AS ratio
+  FROM fn GROUP BY conv_id, turn_idx
+),
+lc AS (
+  SELECT f.*,
+         CASE WHEN f.is_fence = 1 THEN 'fence'
+              WHEN f.in_fence_before = 1 THEN 'tool'
+              WHEN g.ratio <= 40.0 THEN f.cls_b
+              ELSE f.cls_a END AS cls
+  FROM fn f JOIN gt g USING (conv_id, turn_idx)
+),
+b1 AS (  -- SPEC §5 bands: blank-run length via last-non-blank barrier
+  SELECT *,
+         tli - coalesce(max(CASE WHEN cls <> 'blank' THEN tli END)
+                        OVER (PARTITION BY conv_id, turn_idx ORDER BY tli
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        lo0 - 1) AS run_len
+  FROM lc
+),
+b2 AS (
+  SELECT *,
+         CASE WHEN (cls = 'blank' AND run_len = 2) OR cls = 'separator'
+              THEN 1 ELSE 0 END AS band_event
+  FROM b1
+),
+b3 AS (
+  SELECT *,
+         coalesce(sum(band_event) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS band
+  FROM b2
+),
+rg AS (  -- SPEC §5 region runs; header/dropcap/separator are singletons
+  SELECT *,
+         CASE WHEN cls IN ('blank', 'fence') THEN 0
+              WHEN lag(cls) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli) = cls
+                   AND cls IN ('text', 'tool', 'marginalia') THEN 0
+              ELSE 1 END AS new_region
+  FROM b3
+),
+rr AS (
+  SELECT *,
+         sum(new_region) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM rg
+),
+regions AS (
+  SELECT conv_id, turn_idx, rid,
+         min(cls) AS rcls, min(band) AS band, min(tli) AS first_tli,
+         count(*) AS n_lines, sum(slen) AS allmass, max(slen) AS maxlen,
+         sum(CASE WHEN cls_b = 'header' THEN slen ELSE 0 END) AS hmass
+  FROM rr WHERE cls NOT IN ('blank', 'fence')
+  GROUP BY conv_id, turn_idx, rid
+),
+voted AS (  -- SPEC §5h per-region header majority vote (J8)
+  SELECT *,
+         CASE WHEN rcls = 'text' AND n_lines <= 2 AND maxlen <= 60
+                   AND hmass > 0 AND 2 * hmass >= allmass
+              THEN 'header' ELSE rcls END AS vcls
+  FROM regions
+),
+rspans AS (  -- SPEC §10 span candidates: non-empty stripped lines
+  SELECT conv_id, turn_idx, rid, tli, s, slen,
+         line_start + lead AS cs
+  FROM rr WHERE cls NOT IN ('blank', 'fence') AND slen > 0
+),
+rne AS (  -- SPEC §7 reading order over non-empty regions
+  SELECT v.*,
+         row_number() OVER (PARTITION BY v.conv_id, v.turn_idx
+             ORDER BY v.band,
+                      CASE v.vcls WHEN 'header' THEN 0 WHEN 'marginalia' THEN 2
+                                  WHEN 'separator' THEN 3 ELSE 1 END,
+                      v.first_tli) AS ord
+  FROM voted v
+  WHERE EXISTS (SELECT 1 FROM rspans sp
+                WHERE sp.conv_id = v.conv_id AND sp.turn_idx = v.turn_idx
+                  AND sp.rid = v.rid)
+),
+dc AS (  -- SPEC §8 drop-capital merge over adjacent ordered regions
+  SELECT *,
+         lead(vcls) OVER w AS nx_cls, lead(band) OVER w AS nx_band,
+         lag(vcls) OVER w AS pv_cls, lag(band) OVER w AS pv_band,
+         lag(rid) OVER w AS pv_rid
+  FROM rne WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ord)
+),
+surv AS (
+  SELECT *,
+         CASE WHEN vcls = 'text' AND pv_cls = 'dropcap' AND pv_band = band
+              THEN pv_rid END AS dc_rid,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord) - 1
+           AS region_seq
+  FROM dc
+  -- IS NOT TRUE: a trailing dropcap has NULL lead() values and must
+  -- survive (NOT(NULL) would filter it)
+  WHERE (vcls = 'dropcap' AND nx_cls = 'text' AND nx_band = band) IS NOT TRUE
+),
+sp1 AS (
+  SELECT s.conv_id, s.turn_idx, r.region_seq, r.ord, r.dc_rid, s.tli,
+         CASE r.vcls WHEN 'dropcap' THEN 'drop-capital' ELSE r.vcls END
+           AS region_type,
+         row_number() OVER (PARTITION BY s.conv_id, s.turn_idx, r.rid
+                            ORDER BY s.tli) AS line_in_region,
+         s.cs, s.cs + s.slen AS ce, s.s AS stext
+  FROM rspans s JOIN surv r USING (conv_id, turn_idx, rid)
+),
+patched AS (
+  SELECT p.conv_id, p.turn_idx, p.region_seq, p.region_type, p.ord, p.tli,
+         CASE WHEN p.line_in_region = 1 AND p.dc_rid IS NOT NULL
+              THEN d.cs ELSE p.cs END AS char_start,
+         p.ce AS char_end,
+         CASE WHEN p.line_in_region = 1 AND p.dc_rid IS NOT NULL
+              THEN d.s || p.stext ELSE p.stext END AS text
+  FROM sp1 p
+  LEFT JOIN rspans d ON d.conv_id = p.conv_id AND d.turn_idx = p.turn_idx
+                    AND d.rid = p.dc_rid
+),
+numbered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord, tli) - 1
+           AS span_idx
+  FROM patched
+),
+withreg AS (
+  SELECT *,
+         dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
+           AS region_num
+  FROM numbered
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CAST(span_idx AS INT) AS span_idx,
+       region_type,
+       CAST(region_seq AS INT) AS region_seq,
+       CAST(char_start AS INT) AS char_start,
+       CAST(char_end AS INT) AS char_end,
+       text,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, span_idx)
+            - 1 AS INT) AS reading_order,
+       printf('region_%04d', region_num) AS region_id,
+       printf('region_%04d_line_%04d', region_num,
+              row_number() OVER (PARTITION BY conv_id, turn_idx, region_seq
+                                 ORDER BY span_idx)) AS line_id
+FROM withreg
+""".replace("__CLS_A__", _cls_case("s")).replace("__CLS_B__", _cls_case("bs"))
+
+    # extract_spans (full kernel), page_diags, multimodal: rows-only by
+    # design (the kernel's gate is the fixture-equality pytest suite;
+    # multimodal decode is stubbed pending image/audio libs)
     return sql

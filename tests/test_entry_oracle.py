@@ -125,3 +125,79 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.columns
     assert len(rows) >= 0
+
+
+def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
+    """The simple-mode SQL oracle must track the kernel on a corpus
+    with PLANTED structure (the driver's documents are plain lowercase
+    words, which exercises almost nothing): banners, footers, fences,
+    separators, headers, drop-capitals, header-vote regions and the
+    binarized-retry gate, all reachable through the 8-token line wrap."""
+    import pandas as pd
+
+    w = "word"
+    docs = [
+        # header vote: 1-line region, model-B header
+        "§NOTE: setup",
+        # header vote: 2-line region, both model-B headers
+        "§ABC: a b c d e f g §DEF: x",
+        # vote mass fail: B-header line outweighed by a longer text line
+        "§ABC: a b c d e f g " + " ".join(["verylongword"] * 8),
+        # drop-capital final line (unmerged: dropcap is last in order)
+        " ".join([w] * 8) + " A",
+        # separator final line
+        " ".join([w] * 8) + " ---",
+        # per-line header regex final line
+        " ".join([w] * 8) + " ## x",
+        # banner-only single-line page: all border, 0 spans
+        "=== x ===",
+        # footer strips the last line
+        " ".join([w] * 8) + " (c) 2025",
+        # fences: marker line, tool line, closing marker line, text line
+        "```py " + " ".join([w] * 7) + " " + " ".join([w] * 8)
+        + " ``` " + " ".join([w] * 7) + " " + " ".join([w] * 8),
+        # gate flip: every line disagrees (text vs blank) -> model B -> 0 spans
+        " ".join(["§§§"] * 16),
+        # marginalia final line
+        " ".join([w] * 8) + " [note: x]",
+        # multi-turn doc (5 lines -> 2 turns): conversation windows
+        " ".join([f"tok{i}" for i in range(36)]),
+    ]
+    # bulk of plain pages with varying lengths
+    docs += [" ".join([f"w{j}" for j in range(3 + (i * 7) % 29)]) for i in range(40)]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    sdf = entrymod.queries()["extract_spans_simple"](spark, str(tmp_path))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    res = con.sql(entrymod.oracle_sql()["extract_spans_simple"])
+    dcols = res.columns
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols)
+    sn = _normalize(srows, scols)
+    dn = _normalize(drows, dcols)
+    assert len(sn) == len(dn), f"row count {len(sn)} vs {len(dn)}"
+    mism = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mism, f"{len(mism)} mismatched rows; first: {mism[0]}"
+
+    # sanity: the planted structure actually fired
+    by_type = {}
+    for r in srows:
+        d = dict(zip(scols, [*r]))
+        by_type.setdefault(d["region_type"], 0)
+        by_type[d["region_type"]] += 1
+    assert by_type.get("header", 0) >= 4  # votes + regex header
+    assert by_type.get("drop-capital", 0) >= 1
+    assert by_type.get("separator", 0) >= 1
+    assert by_type.get("marginalia", 0) >= 1
+    assert by_type.get("tool", 0) >= 1  # fence interior
+    # banner-only page emitted nothing
+    assert not any(r[0] == "doc6" for r in srows)
