@@ -591,12 +591,18 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 nz_ = reg_first > 0
                 prev[nz_] = csum[reg_first[nz_] - 1]
                 prof_all = last - prev
-                # batched zero-anchor filter: a gutter needs >= 1 truly
-                # blank column, so blocks without one (the vast
-                # majority) skip the valley machinery entirely
+                # batched candidate filter: a qualifying gutter run is
+                # >= 2 wide, all positions <= stray, containing a zero
+                # — which exists IFF some zero column has a <= stray
+                # neighbor (exact equivalence, both directions). Blocks
+                # without such a pair (isolated blank columns between
+                # words are the common case) skip the per-block valley
+                # machinery entirely.
+                inw = np.arange(WCAP, dtype=np.int64)[None, :] < wb[sel][:, None]
+                z = (prof_all == 0) & inw
+                low = (prof_all <= cfg.gutter_max_stray_lines) & inw
                 has_zero = (
-                    (prof_all == 0)
-                    & (np.arange(WCAP, dtype=np.int64)[None, :] < wb[sel][:, None])
+                    (z[:, :-1] & low[:, 1:]) | (z[:, 1:] & low[:, :-1])
                 ).any(axis=1)
                 for jj, j in enumerate(take):
                     if has_zero[jj]:
@@ -1348,23 +1354,37 @@ def _select_gutters(profile: np.ndarray, cfg: ExtractConfig):
     suppression (find_num_col + find_peaks analog,
     utils/__init__.py:443-503, separate_lines.py:57-103)."""
     w = len(profile)
-    # cheap structural pre-pass first (pure-python scan — profiles are
-    # tiny and small-array numpy dispatch costs more): smoothing only
-    # runs when at least one run survives width/zero-anchor/position
-    # checks
-    pv = profile.tolist()
+    if w < 2:
+        return []
+    # cheap structural pre-pass first: smoothing only runs when at
+    # least one run survives width/zero-anchor/position checks. A
+    # vectorized quick-reject (a qualifying run exists IFF some zero
+    # column has a <= stray neighbor) bails before any run extraction
+    # — most profiles reaching here (e.g. every sheared profile of a
+    # skewed single-column paragraph) have no such pair.
     stray = cfg.gutter_max_stray_lines
+    pv = np.asarray(profile)
+    z = pv == 0
+    if not z.any():
+        return []
+    low = pv <= stray
+    if not ((z[:-1] & low[1:]) | (z[1:] & low[:-1])).any():
+        return []
+    # run extraction stays a pure-python scan: profiles are tiny and
+    # the numpy run-extraction chain (diff/flatnonzero/concat/cumsum)
+    # costs more in per-call dispatch than the loop saves
+    pv_l = pv.tolist()
     lo_c = cfg.gutter_min_frac * w
     hi_c = cfg.gutter_max_frac * w
     pre = []
     p = 0
     while p < w:
-        if pv[p] <= stray:
+        if pv_l[p] <= stray:
             q = p
-            has0 = pv[p] == 0
-            while q + 1 < w and pv[q + 1] <= stray:
+            has0 = pv_l[p] == 0
+            while q + 1 < w and pv_l[q + 1] <= stray:
                 q += 1
-                has0 = has0 or pv[q] == 0
+                has0 = has0 or pv_l[q] == 0
             if q - p + 1 >= 2 and has0 and lo_c <= (p + q) // 2 <= hi_c:
                 pre.append((p, q))
             p = q + 1
@@ -1431,6 +1451,27 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     n = len(ink_rows)
     cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
     lens_i = [int(lens[k]) for k in range(n)]
+    lens_a = np.asarray(lens_i, dtype=np.int64)
+    # flatten the block's ink cells ONCE (row, col of every inked
+    # position, masked by each line's true length — rows may be padded
+    # when they come from a fixed-width grid); each candidate's
+    # sheared profile is then a single bincount of (col - shift[row])
+    # instead of a per-line slice-add loop
+    if isinstance(ink_rows, np.ndarray) and ink_rows.ndim == 2:
+        rows_nz, cols_nz = np.nonzero(ink_rows)
+        valid = cols_nz < lens_a[rows_nz]
+        rows_nz = rows_nz[valid]
+        cols_nz = cols_nz[valid]
+    else:
+        rl, cl = [], []
+        for k in range(n):
+            nz = np.flatnonzero(ink_rows[k][: lens_i[k]])
+            cl.append(nz)
+            rl.append(np.full(len(nz), k, dtype=np.int64))
+        rows_nz = np.concatenate(rl) if rl else np.zeros(0, dtype=np.int64)
+        cols_nz = (
+            np.concatenate(cl).astype(np.int64) if cl else np.zeros(0, np.int64)
+        )
     # candidates with identical shift vectors score identically, so
     # build each distinct shift vector's profile once (short blocks
     # collapse most of the grid)
@@ -1446,13 +1487,8 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
             if wp <= 0:
                 seen[sh] = (None, None, None)
                 continue
-            prof = np.zeros(wp, dtype=np.int64)
-            for k in range(n):
-                # slice by the line's LENGTH (rows may be padded when
-                # they come from a fixed-width grid)
-                seg = ink_rows[k][sh[k] : lens_i[k]]
-                if len(seg):
-                    prof[: len(seg)] += seg
+            idx = cols_nz - np.asarray(sh, dtype=np.int64)[rows_nz]
+            prof = np.bincount(idx[idx >= 0], minlength=wp).astype(np.int64)
             sv = int(prof.sum())
             sv2 = int((prof * prof).sum())
             score = wp * sv2 - sv * sv  # population variance * wp^2
