@@ -168,6 +168,20 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir), k=JACCARD_K).select("doc_id", "fingerprint")
 
 
+CONTAM_K = 8  # decontamination shingle width
+CONTAM_BENCH_MAX_ID = 20  # stand-in eval set: lowest doc_ids
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 distinct
+    8-gram with the stand-in eval set (docs with doc_id < 20)."""
+    from eynollah_spark.operators.text_analysis import contamination_check
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+    return contamination_check(d, bench, k=CONTAM_K)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup_exact(_docs(spark, sf_dir))
     return kept.select("doc_id", F.md5("text").alias("text_hash"))
@@ -452,6 +466,17 @@ def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
 
+def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEC §11 diagnostics of the simple-mode kernel, with an exact
+    SQL oracle (see _q_extract_spans_simple for the mode)."""
+    from eynollah_spark.config import ExtractConfig
+
+    return analyze_pages(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=1, small_fragment_max_len=0),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY §2.2-2.7) on TPC-H-ish tables
@@ -482,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "contamination_check": _q_contamination,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "curation_survivors": _q_curation_survivors,
@@ -506,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equality is gated by the fixture pytest suite
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
+        "page_diags_simple": _q_page_diags_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
         "extract_spans_tables": _q_extract_spans_tables,
@@ -985,6 +1012,26 @@ SELECT doc_id,
 FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
 """
 
+    sql["contamination_check"] = f"""
+WITH shd AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - {CONTAM_K}, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+{CONTAM_K}], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+  ) WHERE length(shingle) > 0
+),
+shb AS (
+  SELECT doc_id AS bench_id, shingle FROM shd
+  WHERE doc_id < {CONTAM_BENCH_MAX_ID}
+)
+SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+FROM shd d JOIN shb b USING (shingle)
+WHERE d.doc_id <> b.bench_id
+GROUP BY d.doc_id, b.bench_id
+"""
+
     sql["dedup_exact"] = """
 SELECT doc_id, text_hash FROM (
   SELECT doc_id, md5(text) AS text_hash,
@@ -1351,7 +1398,7 @@ FROM turns
             "ELSE 'text' END"
         ).replace("{c}", c)
 
-    sql["extract_spans_simple"] = """
+    simple_prefix = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
@@ -1555,7 +1602,9 @@ withreg AS (
          dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
            AS region_num
   FROM numbered
-)
+)""".replace("__CLS_A__", _cls_case("s")).replace("__CLS_B__", _cls_case("bs"))
+
+    sql["extract_spans_simple"] = simple_prefix + """
 SELECT conv_id,
        CAST(turn_idx AS INT) AS turn_idx,
        CAST(span_idx AS INT) AS span_idx,
@@ -1571,7 +1620,55 @@ SELECT conv_id,
               row_number() OVER (PARTITION BY conv_id, turn_idx, region_seq
                                  ORDER BY span_idx)) AS line_id
 FROM withreg
-""".replace("__CLS_A__", _cls_case("s")).replace("__CLS_B__", _cls_case("bs"))
+"""
+
+    # page_diags_simple: SPEC §11 diagnostics of the same simple-mode
+    # kernel — n_lines/n_spans/n_regions (post drop-capital merge),
+    # max_columns (structurally 1 with max_columns=1), the LS slope
+    # over unsplit text-block lines (index-within-block vs leading
+    # indent; structurally 0 on token-wrapped transcripts but the full
+    # formula is evaluated), the §4 agreement ratio and gate flag.
+    sql["page_diags_simple"] = simple_prefix + """,
+turnsl AS (
+  SELECT conv_id, turn_idx, count(*) AS n_lines FROM tl GROUP BY conv_id, turn_idx
+),
+spanagg AS (
+  SELECT conv_id, turn_idx, count(*) AS n_spans,
+         count(DISTINCT region_seq) AS n_regions
+  FROM numbered GROUP BY conv_id, turn_idx
+),
+pts AS (
+  SELECT rr.conv_id, rr.turn_idx,
+         row_number() OVER (PARTITION BY rr.conv_id, rr.turn_idx, rr.rid
+                            ORDER BY rr.tli) - 1 AS k,
+         rr.lead AS y
+  FROM rr JOIN voted v USING (conv_id, turn_idx, rid)
+  WHERE v.vcls = 'text' AND rr.cls NOT IN ('blank', 'fence')
+),
+slopes AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN count(*) >= 2 AND sum((k - mk) * (k - mk)) > 0
+              THEN sum((k - mk) * (y - my)) / sum((k - mk) * (k - mk))
+              ELSE 0.0 END AS slope
+  FROM (SELECT *, avg(k) OVER w AS mk, avg(y) OVER w AS my FROM pts
+        WINDOW w AS (PARTITION BY conv_id, turn_idx))
+  GROUP BY conv_id, turn_idx
+)
+SELECT t.conv_id,
+       CAST(t.turn_idx AS INT) AS turn_idx,
+       CAST(t.n_lines AS INT) AS n_lines,
+       CAST(coalesce(s.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(s.n_regions, 0) AS INT) AS n_regions,
+       CAST(1 AS INT) AS max_columns,
+       coalesce(sl.slope, 0.0) AS slope,
+       abs(coalesce(sl.slope, 0.0)) >= 0.13 AS is_deskewed,
+       coalesce(g.ratio, 100.0) AS agreement_ratio,
+       coalesce(g.ratio, 100.0) <= 40.0 AS used_binarized
+FROM turnsl t
+LEFT JOIN spanagg s USING (conv_id, turn_idx)
+LEFT JOIN gt g USING (conv_id, turn_idx)
+LEFT JOIN slopes sl USING (conv_id, turn_idx)
+"""
 
     # extract_spans (full kernel), page_diags, multimodal: rows-only by
     # design (the kernel's gate is the fixture-equality pytest suite;

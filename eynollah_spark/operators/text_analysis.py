@@ -162,3 +162,42 @@ def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
             (F.col("nt") - F.col("n0")).alias("n_above"),
         )
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the count
+    of distinct k-word shingles it shares with each benchmark (eval
+    set) document — the standard n-gram-overlap contamination check a
+    training-data pipeline runs before every release.
+
+    Scale shape: the corpus side shingles map-side (explode, no
+    shuffle); the BENCHMARK side is broadcast — eval sets are small and
+    bounded (10^3-10^5 docs) while the corpus is 100 TB, so the join
+    must never shuffle the corpus on `shingle`. One corpus-side
+    groupBy((doc_id, bench_id)) remains. Pure Catalyst, no UDFs.
+
+    Returns (doc_id, bench_id, n_shared) for pairs with at least
+    ``min_shared`` shared shingles, self-pairs excluded (a benchmark
+    drawn from the corpus trivially matches itself).
+    """
+    from eynollah_spark.operators.dedup import word_shingles
+
+    sh_d = word_shingles(docs, text_col, k)
+    sh_b = word_shingles(benchmark, text_col, k).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    out = (
+        sh_d.join(F.broadcast(sh_b), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if min_shared > 1:
+        out = out.filter(F.col("n_shared") >= min_shared)
+    return out

@@ -168,25 +168,27 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
     pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
     pdf.to_parquet(tmp_path / "documents.parquet")
 
-    sdf = entrymod.queries()["extract_spans_simple"](spark, str(tmp_path))
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
     )
-    res = con.sql(entrymod.oracle_sql()["extract_spans_simple"])
-    dcols = res.columns
-    drows = res.fetchall()
+    srows = scols = None
+    for qname in ("extract_spans_simple", "page_diags_simple"):
+        qdf = entrymod.queries()[qname](spark, str(tmp_path))
+        qcols = qdf.columns
+        qrows = [tuple(r) for r in qdf.collect()]
+        res = con.sql(entrymod.oracle_sql()[qname])
+        dcols = res.columns
+        drows = res.fetchall()
+        assert sorted(qcols) == sorted(dcols), qname
+        sn = _normalize(qrows, qcols)
+        dn = _normalize(drows, dcols)
+        assert len(sn) == len(dn), f"{qname}: row count {len(sn)} vs {len(dn)}"
+        mism = [(a, b) for a, b in zip(sn, dn) if a != b]
+        assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
+        if qname == "extract_spans_simple":
+            srows, scols = qrows, qcols
     con.close()
-
-    assert sorted(scols) == sorted(dcols)
-    sn = _normalize(srows, scols)
-    dn = _normalize(drows, dcols)
-    assert len(sn) == len(dn), f"row count {len(sn)} vs {len(dn)}"
-    mism = [(a, b) for a, b in zip(sn, dn) if a != b]
-    assert not mism, f"{len(mism)} mismatched rows; first: {mism[0]}"
 
     # sanity: the planted structure actually fired
     by_type = {}

@@ -70,3 +70,33 @@ def test_fingerprint_detects_shared_content(spark):
     got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_contamination_check_finds_planted_ngram(spark):
+    from eynollah_spark.operators.text_analysis import contamination_check
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "completely unrelated words that share nothing with the benchmark set"
+    # doc 30 contains an 8-gram lifted verbatim from the benchmark
+    leaked = "prefix words here alpha beta gamma delta epsilon zeta eta theta suffix"
+    docs = spark.createDataFrame(
+        [(1, bench_text), (30, leaked), (31, clean)], ["doc_id", "text"]
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in contamination_check(docs, bench, k=8).collect()
+    }
+    assert (30, 1) in got and got[(30, 1)] >= 1
+    assert all(d != 31 for d, _ in got)  # clean doc untouched
+    assert (1, 1) not in got  # self-pair excluded
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """Scale shape: the benchmark side must be broadcast — the corpus
+    is never shuffled on shingle."""
+    from eynollah_spark.operators.text_analysis import contamination_check
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    plan = contamination_check(docs, docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
