@@ -182,6 +182,18 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, k=CONTAM_K)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup_exact(_docs(spark, sf_dir))
     return kept.select("doc_id", F.md5("text").alias("text_hash"))
@@ -508,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "contamination_check": _q_contamination,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "curation_survivors": _q_curation_survivors,
@@ -1030,6 +1044,58 @@ SELECT d.doc_id, b.bench_id, count(*) AS n_shared
 FROM shd d JOIN shb b USING (shingle)
 WHERE d.doc_id <> b.bench_id
 GROUP BY d.doc_id, b.bench_id
+"""
+
+    from eynollah_spark.operators.text_analysis import EMAIL_RE, IP_RE, PHONE_RE
+
+    sql["pii_scrub"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{IP_RE}', '[IP]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g') AS scrubbed,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{IP_RE}', '[IP]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g')) AS INT) AS n_chars_scrubbed
+FROM documents
+"""
+
+    sql["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(tk) AS INT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS INT) AS n_distinct
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tk) - 1),
+                               i -> array_to_string(tk[i+1 : i+2], ' '))) AS bg
+  FROM t WHERE len(tk) >= 2
+),
+top AS (
+  SELECT doc_id,
+         CAST(max(c) AS INT) AS top_bigram_n,
+         CAST(sum(c) AS INT) AS n_bigrams,
+         round(max(c) / sum(c), 6) AS top_bigram_frac
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN (b.n_tokens - b.n_distinct) / CAST(b.n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_token_ratio,
+       coalesce(t2.top_bigram_n, 0) AS top_bigram_n,
+       coalesce(t2.n_bigrams, 0) AS n_bigrams,
+       coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN top t2 USING (doc_id)
 """
 
     sql["dedup_exact"] = """

@@ -201,3 +201,98 @@ def contamination_check(
     if min_shared > 1:
         out = out.filter(F.col("n_shared") >= min_shared)
     return out
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d\-]{7,}\d"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass (emails, IPv4s, +international phone
+    shapes): per doc, match counts and the scrubbed text with each
+    match replaced by a typed placeholder — the standard pre-training
+    scrub. Pure Catalyst regexp expressions; linear scan-side work,
+    no shuffle at all."""
+    t = F.col(text_col)
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), IP_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        n(EMAIL_RE).alias("n_emails"),
+        n(IP_RE).alias("n_ips"),
+        n(PHONE_RE).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).cast("int").alias("n_chars_scrubbed"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals over the token stream:
+    duplicate-token ratio (1 - distinct/total) and the fraction of
+    bigrams taken by the single most frequent bigram — the standard
+    repetition filters for training-data quality gating.
+
+    One explode + groupBy(doc_id, bigram) + per-doc max: partial
+    aggregation happens map-side, the only shuffle is on doc_id."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+    ).withColumn(
+        "dup_token_ratio",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.col("n_distinct"))
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    top = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_n"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            F.col("top_bigram_n").cast("int").alias("top_bigram_n"),
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .withColumn("top_bigram_n", F.coalesce("top_bigram_n", F.lit(0)))
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        .withColumn(
+            "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+        )
+    )

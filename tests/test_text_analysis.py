@@ -100,3 +100,74 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
     plan = contamination_check(docs, docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_scrub_planted(spark):
+    from eynollah_spark.operators.text_analysis import pii_scrub
+
+    rows = [
+        (1, "contact me at alice@example.com or 10.0.0.1 or +1-555-123-4567 ok"),
+        (2, "no pii in this one at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 1, 1)
+    assert got[1].scrubbed == "contact me at [EMAIL] or [IP] or [PHONE] ok"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
+    assert got[2].scrubbed == rows[1][1]
+
+
+def test_repetition_stats_planted(spark):
+    from eynollah_spark.operators.text_analysis import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),          # one bigram repeated 3x
+        (2, "all tokens here are unique"),
+        (3, ""),                             # degenerate
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 1
+    assert got[1].dup_token_ratio == 0.75
+    assert got[1].top_bigram_n == 3 and got[1].top_bigram_frac == 1.0
+    assert got[2].dup_token_ratio == 0.0
+    assert got[2].top_bigram_frac < 1.0 or got[2].n_bigrams == 4
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_frac == 0.0
+
+
+def test_pii_and_repetition_oracle_parity_planted(spark, tmp_path):
+    """Java-regex vs RE2 parity on text that actually contains PII and
+    repetition (the driver corpus has neither), via the same
+    row-multiset comparison the driver uses."""
+    import duckdb
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (1, "mail bob.smith+tag@sub.example.co.uk and 192.168.10.255 now"),
+        (2, "call +44-20-7946-0958 or +1555123456789 twice +1555123456789"),
+        (3, "edge cases: a@b.co 1.2.3.4.5 999.999.999.999 x@y"),
+        (4, "spam spam spam spam spam unique"),
+        (5, ""),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    for name in ("pii_scrub", "repetition_stats"):
+        sdf = entrymod.queries()[name](spark, str(tmp_path))
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+        res = con.sql(entrymod.oracle_sql()[name])
+        assert sorted(res.columns) == sorted(scols), name
+        # align column order to spark's
+        proj = ", ".join(f'"{c}"' for c in scols)
+        drows = sorted(con.sql(f"SELECT {proj} FROM res").fetchall())
+        assert srows == drows, (name, srows[:2], drows[:2])
+    con.close()
