@@ -65,6 +65,11 @@ class CorpusSpec:
     skew_mult: int = 40
     base_turns_min: int = 3
     base_turns_max: int = 16
+    # §5h header-vote blocks (off by default so the benchmark corpus
+    # stays byte-identical across rounds): short heading PAIRS whose
+    # lead char is non-ASCII — the per-line rules see text, model B
+    # sees headers, and only the per-REGION majority vote can relabel
+    vote_blocks: bool = False
 
 
 def _rng(spec_seed: int, conv_ord: int, turn_idx: int) -> np.random.RandomState:
@@ -197,6 +202,17 @@ def gen_turn(conv_ord: int, turn_idx: int, spec: CorpusSpec):
         # marginal note
         if r.rand() < 0.15:
             parts.append(f"[note: {_sentence(r, 2, 4)}]")
+
+        # §5h vote block: a 2-line heading block isolated by blanks,
+        # each line failing the per-line header regex on the original
+        # (leading '§') but model-B-header after binarization
+        if spec.vote_blocks and r.rand() < 0.3:
+            h1 = _HEADINGS[int(r.randint(0, len(_HEADINGS)))].upper()
+            h2 = _HEADINGS[int(r.randint(0, len(_HEADINGS)))].upper()
+            parts.append("")
+            parts.append(f"§{h1}: {_sentence(r, 1, 3)}")
+            parts.append(f"§{h2}: {_sentence(r, 1, 3)}")
+            parts.append("")
 
     # non-ASCII noise turn (binarized-retry path): em-dash rules +
     # unicode-only "text" lines that model A and B disagree on

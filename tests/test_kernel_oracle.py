@@ -592,3 +592,30 @@ def test_table_mode_parity_and_fusion():
         for s in analyze_turn_naive(text, "user")
     ]
     assert off == off_want
+
+
+def test_vote_blocks_corpus_agreement():
+    """J8 e2e: a corpus seeded with §-heading PAIRS (only the
+    per-region vote can relabel them) stays byte-equal between kernel
+    and oracle, and the vote demonstrably fires; the DEFAULT corpus is
+    byte-identical with the knob off (benchmark comparability)."""
+    spec_on = CorpusSpec(n_convs=30, seed=7, vote_blocks=True)
+    df = generate_local(spec_on)
+    got = _kernel_spans(list(zip(df["text"], df["role"])))
+    n_multi_header_regions = 0
+    for i, row in enumerate(df.itertuples(index=False)):
+        want = _oracle_spans(row.text, row.role)
+        assert got[i] == want, (row.conv_id, row.turn_idx)
+        per_region = {}
+        for sp in got[i]:
+            if sp[1] == "header":
+                per_region.setdefault(sp[2], 0)
+                per_region[sp[2]] += 1
+        n_multi_header_regions += sum(1 for v in per_region.values() if v >= 2)
+    assert n_multi_header_regions >= 5  # the vote fired in the corpus
+
+    # default corpus unchanged by the new knob
+    base = generate_local(CorpusSpec(n_convs=10, seed=7))
+    again = generate_local(CorpusSpec(n_convs=10, seed=7, vote_blocks=False))
+    assert base.equals(again)
+    assert not base["text"].str.contains("§", regex=False).any()
