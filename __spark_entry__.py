@@ -253,6 +253,22 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1 << 20
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table (the IVF
+    coarse-quantizer training step) — exact integer-quantized
+    arithmetic, so even the iterative clustering carries an exact
+    DuckDB oracle (unrolled iterations)."""
+    from eynollah_spark.operators.similarity import kmeans_lloyd
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(e, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE)
+
+
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_turn_metadata(
         transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
@@ -535,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_embeddings": _q_kmeans,
         # S2 metadata probe (check_dpi analog)
         "probe_metadata": _q_probe_metadata,
         # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
@@ -1420,6 +1437,66 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s)
 WHERE rk <= {TOPK_K}
+"""
+
+    # kmeans_embeddings: Lloyd iterations unrolled. Exactness design
+    # mirrors operators/similarity.kmeans_lloyd: 2^20-quantized bigint
+    # components, centroids as INTEGER SUM vectors (cosine is
+    # scale-invariant so the mean's division never happens), dot/norm
+    # folds exact integer -> double conversions are bit-identical.
+    _kcos = (
+        "coalesce(CAST(list_sum(list_transform(range({d}), j -> e.v[j+1] * c.cvec[j+1])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(range({d}), j -> e.v[j+1] * e.v[j+1])) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(range({d}), j -> c.cvec[j+1] * c.cvec[j+1])) AS DOUBLE))), -2.0)"
+    ).format(d=EMB_DIM)
+
+    def _k_assign(src_c: str) -> str:
+        return f"""
+  SELECT vec_id, v, centroid_id, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, centroid_id ASC) AS rn
+    FROM (SELECT e.vec_id, e.v, c.centroid_id, {_kcos} AS cos
+          FROM ei e, {src_c} c))
+  WHERE rn = 1
+"""
+
+    def _k_sums(src_a: str) -> str:
+        return f"""
+  SELECT centroid_id, list(CAST(s AS BIGINT) ORDER BY j) AS cvec FROM (
+    SELECT centroid_id, j, sum(val) AS s FROM (
+      SELECT centroid_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS val
+      FROM {src_a})
+    GROUP BY centroid_id, j)
+  GROUP BY centroid_id
+"""
+
+    sql["kmeans_embeddings"] = f"""
+WITH ei AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, v,
+         CAST(('0x' || substring(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM ei
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS centroid_id,
+         v AS cvec
+  FROM (SELECT * FROM ranked ORDER BY h, vec_id LIMIT {KMEANS_K})
+),
+a0 AS ({_k_assign('c0')}),
+c1 AS ({_k_sums('a0')}),
+a1 AS ({_k_assign('c1')}),
+c2 AS ({_k_sums('a1')}),
+a2 AS ({_k_assign('c2')})
+SELECT vec_id, centroid_id,
+       CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_size,
+       round(cos, 6) AS cosine
+FROM a2
 """
 
     sql["probe_metadata"] = f"""

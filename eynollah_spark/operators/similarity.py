@@ -318,3 +318,125 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def _int_dot(a, b):
+    """Exact int64 dot product of two bigint arrays (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int_cosine(a, b):
+    """Cosine from exact integer dot/norms: the three folds are exact
+    int64 (components are <= 2^20-scale, dims ~64, sums < 2^63), so
+    the double conversion and final IEEE ops are bit-identical on any
+    engine — no float-summation-order hazard."""
+    return F.coalesce(
+        _int_dot(a, b).cast("double")
+        / (
+            F.sqrt(_int_dot(a, a).cast("double"))
+            * F.sqrt(_int_dot(b, b).cast("double"))
+        ),
+        F.lit(-2.0),
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column — the
+    offline training step for ``ivf_topk``'s coarse quantizer
+    (faiss-style IVF training, expressed Spark-first).
+
+    Engine-exact by construction: components are quantized to
+    ``round(x * 2^20)`` bigints; centroids are kept as INTEGER SUM
+    vectors (cosine is scale-invariant, so the mean's division never
+    happens); every dot/norm is an exact int64 fold. Init picks the k
+    corpus vectors with smallest md5-rank via orderBy().limit() —
+    TakeOrderedAndProject, no global sort.
+
+    Per iteration: broadcast the k sum-vectors -> nearest-centroid
+    assignment (argmax cosine, centroid-id tiebreak; map-side, no
+    shuffle) -> per-dimension sums via posexplode + partial-agg
+    groupBy((centroid, dim)) — at any corpus size the map-side combine
+    reduces each partition to k*dim rows before the exchange. Empty
+    clusters drop out (standard Lloyd degeneracy), deterministically.
+
+    Returns (vec_id, centroid_id, cluster_size, cosine) of the final
+    assignment; cosine (to the centroid, rounded 6) is the per-vector
+    quantization quality.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+        ).alias("v"),
+    )
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    picked = (
+        c.select("vec_id", "v", hcol.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    cent = picked.select(
+        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias(
+            "centroid_id"
+        ),
+        F.col("v").alias("cvec"),
+    )
+
+    def assign(cents):
+        scored = c.crossJoin(F.broadcast(cents)).withColumn(
+            "cos", _int_cosine(F.col("v"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "v", "centroid_id", "cos")
+        )
+
+    assigned = assign(cent)
+    for _ in range(iters):
+        sums = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda x: x["s"],
+                ).alias("cvec")
+            )
+        )
+        assigned = assign(sums)
+
+    wsz = Window.partitionBy("centroid_id")
+    return assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        F.round(F.col("cos"), 6).alias("cosine"),
+    )

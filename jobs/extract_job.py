@@ -32,6 +32,11 @@ def main() -> None:
         "--line-split", action="store_true",
         help="enable curved-line splitting (-cl): long spans subdivide at wide gaps",
     )
+    ap.add_argument(
+        "--blank-bridge", action="store_true",
+        help="enable 1-D closing: a single interior blank line bridges "
+        "two same-class runs into one region",
+    )
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -43,7 +48,9 @@ def main() -> None:
 
     spark = get_spark(app_name=f"eynollah-extract-{args.run_id}")
     cfg = ExtractConfig(
-        enable_tables=args.tables, enable_line_split=args.line_split
+        enable_tables=args.tables,
+        enable_line_split=args.line_split,
+        region_blank_bridge=args.blank_bridge,
     )
     metrics = ExtractMetrics.create(spark)
 

@@ -99,3 +99,32 @@ def test_ivf_topk_structure_and_recall(spark, emb):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmeans_lloyd_groups_planted_clusters(spark):
+    """Two tight planted clusters must land in two distinct k-means
+    cells regardless of partitioning; exact integer arithmetic makes
+    results partition-invariant."""
+    import numpy as np
+
+    from eynollah_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(20):  # cluster A: near e0
+        v = np.concatenate([[10.0], rng.rand(7) * 0.1]).astype(float)
+        rows.append((i, v.tolist()))
+    for i in range(20, 40):  # cluster B: near e1
+        v = np.concatenate([[0.0], [10.0], rng.rand(6) * 0.1]).astype(float)
+        rows.append((i, v.tolist()))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kmeans_lloyd(e, k=2, iters=2).collect()
+    cl = {r.vec_id: r.centroid_id for r in got}
+    a_ids = {cl[i] for i in range(20)}
+    b_ids = {cl[i] for i in range(20, 40)}
+    assert len(a_ids) == 1 and len(b_ids) == 1 and a_ids != b_ids
+    assert all(r.cluster_size == 20 for r in got)
+    assert all(r.cosine > 0.99 for r in got)  # tight clusters
+
+    again = kmeans_lloyd(e.repartition(7), k=2, iters=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
