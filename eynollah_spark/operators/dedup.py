@@ -449,3 +449,35 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def shingle_array(text_col, k: int = 3):
+    """Row-local distinct k-word shingle array (the array twin of
+    word_shingles' explode — no shuffle, usable in streaming)."""
+    toks = F.split(text_col if not isinstance(text_col, str) else F.col(text_col), r"\s+")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+
+
+def minhash_signature_col(text_col, k: int = 3, num_hashes: int = 16):
+    """Per-ROW MinHash signature as an array<bigint> column — byte-
+    identical to minhash_signatures' groupBy result (asserted in
+    tests), but computed without any shuffle, so it composes with
+    Structured Streaming's stateless operators."""
+    sh = shingle_array(text_col, k)
+
+    # single-arg closure factory: F.transform passes (element, index)
+    # to two-arg lambdas, so a `lambda s, i=i:` default would silently
+    # receive the ELEMENT INDEX as i (the documented trap fixed in
+    # lsh_topk in round 2)
+    def perm_min(i: int):
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(sh, lambda s: _h64(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])

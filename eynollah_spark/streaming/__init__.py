@@ -4,6 +4,7 @@ from eynollah_spark.streaming.jobs import (
     stream_sessionize,
     stream_extract_spans,
     stream_dedup_docs,
+    stream_near_dup_docs,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "stream_sessionize",
     "stream_extract_spans",
     "stream_dedup_docs",
+    "stream_near_dup_docs",
 ]

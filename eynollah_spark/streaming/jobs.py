@@ -188,6 +188,42 @@ def stream_dedup_docs(
     )
 
 
+def stream_near_dup_docs(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    k: int = 3,
+    num_hashes: int = 16,
+    band_hashes: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup triage: documents whose leading MinHash band
+    (the first ``band_hashes`` of ``num_hashes`` permutations) matches
+    an earlier doc within the watermark horizon are dropped.
+
+    The signature is computed per ROW (``minhash_signature_col`` —
+    byte-identical to the batch groupBy signatures, zero shuffle), so
+    it composes with ``dropDuplicatesWithinWatermark`` and state stays
+    bounded by event time. A single band is deliberately aggressive:
+    it catches high-Jaccard near-dups with probability ~j^band_hashes
+    and can drop moderately-similar pairs — this is the in-flight
+    TRIAGE pass; the exact batch pipeline (minhash_lsh_pairs with
+    candidate verification) remains the authority. The full signature
+    rides along in ``sig`` for downstream batch verification."""
+    from eynollah_spark.operators.dedup import minhash_signature_col
+
+    sig = minhash_signature_col(F.col("text"), k=k, num_hashes=num_hashes)
+    band = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(F.slice(sig, 1, band_hashes), lambda h: h.cast("string")),
+        )
+    )
+    hashed = docs.withColumn("sig", sig).withColumn("band_sig", band)
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_sig"]
+    )
+
+
 def stream_extract_spans(
     spark: SparkSession,
     transcripts_dir: str,

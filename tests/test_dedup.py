@@ -175,3 +175,24 @@ def test_near_dup_clusters_transitivity(spark):
     }
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[9] == (9, 1)
+
+
+def test_rowwise_signature_matches_batch(docs):
+    """minhash_signature_col (streaming path) must be byte-identical
+    to the batch groupBy signatures for every doc with shingles."""
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.dedup import (
+        minhash_signature_col,
+        minhash_signatures,
+    )
+
+    rowwise = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", minhash_signature_col(F.col("text")).alias("sig")
+        ).collect()
+    }
+    batch = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert batch  # non-degenerate
+    assert all(rowwise[d] == batch[d] for d in batch)

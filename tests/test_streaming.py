@@ -245,3 +245,49 @@ def test_stream_extract_resume_no_duplicates(spark, tmp_path):
     q2.awaitTermination(180)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 > 0
+
+
+def test_stream_near_dup_docs(spark, tmp_path):
+    """In-flight MinHash-band near-dup triage: survivors are exactly
+    one doc per distinct leading-band signature — verified against the
+    batch signatures (the per-row column is byte-identical to them)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.dedup import minhash_signatures
+    from eynollah_spark.streaming.jobs import stream_near_dup_docs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, datetime.datetime(2025, 1, 1, 0, 1)),
+        (2, base, datetime.datetime(2025, 1, 1, 0, 2)),                     # exact dup
+        (3, base.replace("dog", "owl"), datetime.datetime(2025, 1, 1, 0, 3)),
+        (4, "completely different content entirely here", datetime.datetime(2025, 1, 1, 0, 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    q = (
+        stream_near_dup_docs(src)
+        .writeStream.format("memory")
+        .queryName("near_dup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id, sig from near_dup_docs").collect()
+
+    # batch-derived expectation: one survivor per distinct 4-hash band
+    bands = {
+        r.doc_id: tuple(r.sig[:4]) for r in minhash_signatures(df).collect()
+    }
+    n_distinct_bands = len(set(bands.values()))
+    assert len(got) == n_distinct_bands
+    assert {tuple(r.sig[:4]) for r in got} == set(bands.values())
+    # the exact dup pair collapsed to one survivor
+    survivors = {r.doc_id for r in got}
+    assert len(survivors & {1, 2}) == 1
+    assert 4 in survivors
