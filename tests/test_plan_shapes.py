@@ -107,3 +107,16 @@ def test_topk_no_corpus_shuffle_before_scoring(spark):
     plan = _plan(em.queries()["embedding_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_kmeans_init_distributed_and_assignment_broadcast(spark):
+    """kmeans_lloyd: the init pick compiles to TakeOrderedAndProject
+    (no global sort / single-partition window over the corpus), and
+    every assignment joins against BROADCAST centroids — the corpus is
+    never shuffled for assignment, no CartesianProduct forms."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["kmeans_embeddings"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
