@@ -448,6 +448,48 @@ def _q_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_DUP_RATIO_MAX = 0.9  # repetition gates (lenient for the
+CURATION_TOP_BG_MAX = 0.5     # lorem-vocabulary corpus)
+
+
+def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation flow as one declarative
+    plan: quality gate -> repetition gates (Gopher-style) -> PII gate
+    -> exact dedup (keep lowest id) -> near-dup removal (Jaccard) ->
+    benchmark decontamination. Every stage is an existing first-class
+    operator; Catalyst fuses the scan-side gates into one pass over
+    the corpus, and the only shuffles are the dedup hash, the shingle
+    join, and the broadcast-bench contamination join."""
+    from eynollah_spark.operators.text_analysis import (
+        contamination_check,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = (
+        quality_features(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "text")
+    )
+    rep_ok = repetition_stats(docs).filter(
+        (F.col("dup_token_ratio") <= CURATION_DUP_RATIO_MAX)
+        & (F.col("top_bigram_frac") <= CURATION_TOP_BG_MAX)
+    ).select("doc_id")
+    pii_ok = pii_scrub(docs).filter(
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0
+    ).select("doc_id")
+    gated = q.join(rep_ok, "doc_id").join(pii_ok, "doc_id")
+    kept = dedup_exact(gated).select("doc_id", "text")
+    near = ngram_jaccard_pairs(kept, k=JACCARD_K, threshold=0.5).select("doc_b")
+    deduped = kept.join(near, kept.doc_id == near.doc_b, "left_anti")
+    bench = docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+    contaminated = contamination_check(deduped, bench, k=CONTAM_K).select(
+        "doc_id"
+    ).distinct()
+    return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
+
+
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(transcripts_from_documents(spark, sf_dir))
 
@@ -541,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "curation_survivors": _q_curation_survivors,
+        "curation_full": _q_curation_full,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1169,6 +1212,107 @@ drop_b AS (
 )
 SELECT doc_id FROM kept
 WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
+"""
+
+    sql["curation_full"] = f"""
+WITH rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+           CASE WHEN len(tk) >= 2 THEN
+             (SELECT max(c) * 1.0 / sum(c) FROM (
+                SELECT count(*) AS c FROM (
+                  SELECT unnest(list_transform(range(len(tk) - 1),
+                         i -> array_to_string(tk[i+1 : i+2], ' '))) AS bg)
+                GROUP BY bg))
+           ELSE 0.0 END AS top_bg
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents))
+  WHERE round(CASE WHEN n_tokens > 0
+                   THEN (n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END, 6) <= {CURATION_DUP_RATIO_MAX}
+    AND round(coalesce(top_bg, 0.0), 6) <= {CURATION_TOP_BG_MAX}
+),
+pii AS (
+  SELECT doc_id FROM documents
+  WHERE len(regexp_extract_all(text, '{EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{IP_RE}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}')) = 0
+),
+q AS (
+  SELECT d.doc_id, d.text FROM (
+    SELECT doc_id, text,
+           round(least({n_ws} / 100.0, 1.0) * 0.4
+                 + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+                 + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+                 6) AS qs
+    FROM documents) d
+  JOIN rep USING (doc_id) JOIN pii USING (doc_id)
+  WHERE d.qs >= 0.5
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - 3, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+3], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM kept)
+  ) WHERE length(shingle) > 0
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {JACCARD_MAX_DF}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drop_b AS (
+  SELECT DISTINCT doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+),
+deduped AS (
+  SELECT doc_id, text FROM kept
+  WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
+),
+shd8 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - {CONTAM_K}, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+{CONTAM_K}], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM deduped)
+  ) WHERE length(shingle) > 0
+),
+shb8 AS (
+  SELECT DISTINCT doc_id AS bench_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - {CONTAM_K}, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+{CONTAM_K}], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+          FROM documents WHERE doc_id < {CONTAM_BENCH_MAX_ID})
+  ) WHERE length(shingle) > 0
+),
+contam AS (
+  SELECT DISTINCT d.doc_id FROM shd8 d JOIN shb8 b USING (shingle)
+  WHERE d.doc_id <> b.bench_id
+)
+SELECT doc_id FROM deduped
+WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = deduped.doc_id)
 """
 
     sql["jaccard_pairs"] = f"""
