@@ -182,6 +182,26 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, k=CONTAM_K)
 
 
+TOP_TOKENS_K = 50
+
+
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: global token frequencies, top-k by
+    (count desc, token asc). One explode + partial-agg groupBy(token);
+    the top-k compiles to TakeOrderedAndProject — per-partition heads
+    merged at the driver, no global sort."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOP_TOKENS_K)
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.text_analysis import pii_scrub
 
@@ -536,6 +556,20 @@ def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
 
+def _q_extract_spans_tables_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-mode extraction with table detection on (-tab analog):
+    table rows classify/group/fuse per SPEC §12; same SQL-expressible
+    degeneration as extract_spans_simple otherwise."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(
+            max_columns=1, small_fragment_max_len=0, enable_tables=True
+        ),
+    )
+
+
 def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPEC §11 diagnostics of the simple-mode kernel, with an exact
     SQL oracle (see _q_extract_spans_simple for the mode)."""
@@ -579,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "contamination_check": _q_contamination,
         "pii_scrub": _q_pii_scrub,
+        "top_tokens": _q_top_tokens,
         "repetition_stats": _q_repetition_stats,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -606,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equality is gated by the fixture pytest suite
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
+        "extract_spans_tables_simple": _q_extract_spans_tables_simple,
         "page_diags_simple": _q_page_diags_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
@@ -1084,6 +1120,16 @@ SELECT doc_id,
        list_min(list_transform(range(greatest(len(tk) - 3, 0) + 1),
                                i -> {shingle_h})) AS fingerprint
 FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+"""
+
+    sql["top_tokens"] = f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOP_TOKENS_K}
 """
 
     sql["contamination_check"] = f"""
@@ -1672,7 +1718,15 @@ FROM turns
     # defaults: border_scan_lines=3, binarize_retry_threshold=40.0,
     # header_max_len=60, header_vote_max_lines=2, band_blank_gap=2,
     # separator_min_len=3; LINES_PER_TURN=4, TOKENS_PER_LINE=8.
-    def _cls_case(c: str) -> str:
+    def _cls_case(c: str, tables: bool = False) -> str:
+        # the table rule sits after every other class, before 'text'
+        # (SPEC §12) — mirrored only in the tables variant
+        table_arm = (
+            "WHEN length({c}) - length(replace({c}, '|', '')) >= 2 "
+            "THEN 'table' "
+            if tables
+            else ""
+        )
         return (
             "CASE WHEN {c} = '' THEN 'blank' "
             "WHEN length({c}) >= 3 AND regexp_full_match({c}, '[-*=_—–~]+') "
@@ -1682,10 +1736,12 @@ FROM turns
             "regexp_matches({c}, '^(#{1,6} |[A-Z][A-Z0-9_]{2,11}:)') "
             "THEN 'header' "
             "WHEN length({c}) = 1 AND {c} >= 'A' AND {c} <= 'Z' THEN 'dropcap' "
-            "ELSE 'text' END"
+            + table_arm
+            + "ELSE 'text' END"
         ).replace("{c}", c)
 
-    simple_prefix = """
+    def _simple_prefix(tables: bool = False) -> str:
+        return """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
@@ -1766,13 +1822,23 @@ gt AS (  -- SPEC §4 agreement gate
          END AS ratio
   FROM fn GROUP BY conv_id, turn_idx
 ),
-lc AS (
+lc0 AS (
   SELECT f.*,
          CASE WHEN f.is_fence = 1 THEN 'fence'
               WHEN f.in_fence_before = 1 THEN 'tool'
               WHEN g.ratio <= 40.0 THEN f.cls_b
               ELSE f.cls_a END AS cls
   FROM fn f JOIN gt g USING (conv_id, turn_idx)
+),
+lc AS (  -- SPEC §12 table-separator fusion (no-op without 'table'
+         -- classes): a separator directly between two table lines is
+         -- absorbed into the table BEFORE band counting
+  SELECT * REPLACE (
+    CASE WHEN cls = 'separator'
+          AND lag(cls) OVER w = 'table' AND lead(cls) OVER w = 'table'
+         THEN 'table' ELSE cls END AS cls)
+  FROM lc0
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY tli)
 ),
 b1 AS (  -- SPEC §5 bands: blank-run length via last-non-blank barrier
   SELECT *,
@@ -1798,7 +1864,7 @@ rg AS (  -- SPEC §5 region runs; header/dropcap/separator are singletons
   SELECT *,
          CASE WHEN cls IN ('blank', 'fence') THEN 0
               WHEN lag(cls) OVER (PARTITION BY conv_id, turn_idx ORDER BY tli) = cls
-                   AND cls IN ('text', 'tool', 'marginalia') THEN 0
+                   AND cls IN ('text', 'tool', 'marginalia', 'table') THEN 0
               ELSE 1 END AS new_region
   FROM b3
 ),
@@ -1840,7 +1906,13 @@ rne AS (  -- SPEC §7 reading order over non-empty regions
                 WHERE sp.conv_id = v.conv_id AND sp.turn_idx = v.turn_idx
                   AND sp.rid = v.rid)
 ),
-dc AS (  -- SPEC §8 drop-capital merge over adjacent ordered regions
+dc AS (  -- SPEC §8 drop-capital merge over adjacent ordered regions.
+         -- NOTE: through the 8-token transcript wrap a dropcap line
+         -- can only be a doc's FINAL line (shorter-than-8-token lines
+         -- exist nowhere else), so it always sorts last in its band
+         -- and the merge branch cannot fire on wrap-derived corpora —
+         -- it is implemented for spec completeness; the kernel-side
+         -- merge is gated by tests/test_kernel_oracle.py fixtures
   SELECT *,
          lead(vcls) OVER w AS nx_cls, lead(band) OVER w AS nx_band,
          lag(vcls) OVER w AS pv_cls, lag(band) OVER w AS pv_band,
@@ -1889,9 +1961,11 @@ withreg AS (
          dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
            AS region_num
   FROM numbered
-)""".replace("__CLS_A__", _cls_case("s")).replace("__CLS_B__", _cls_case("bs"))
+)""".replace("__CLS_A__", _cls_case("s", tables)).replace(
+            "__CLS_B__", _cls_case("bs", tables)
+        )
 
-    sql["extract_spans_simple"] = simple_prefix + """
+    _spans_final = """
 SELECT conv_id,
        CAST(turn_idx AS INT) AS turn_idx,
        CAST(span_idx AS INT) AS span_idx,
@@ -1908,6 +1982,13 @@ SELECT conv_id,
                                  ORDER BY span_idx)) AS line_id
 FROM withreg
 """
+    sql["extract_spans_simple"] = _simple_prefix(False) + _spans_final
+    # tables variant (-tab in simple mode): table classification, run
+    # grouping and §12 fusion live in the same CTE chain. NOTE: a
+    # separator line is single-token through the 8-token wrap, so the
+    # fusion arm cannot fire on wrap-derived corpora (kernel fixtures
+    # gate it); the table class/runs ARE exercised adversarially.
+    sql["extract_spans_tables_simple"] = _simple_prefix(True) + _spans_final
 
     # page_diags_simple: SPEC §11 diagnostics of the same simple-mode
     # kernel — n_lines/n_spans/n_regions (post drop-capital merge),
@@ -1915,7 +1996,7 @@ FROM withreg
     # over unsplit text-block lines (index-within-block vs leading
     # indent; structurally 0 on token-wrapped transcripts but the full
     # formula is evaluated), the §4 agreement ratio and gate flag.
-    sql["page_diags_simple"] = simple_prefix + """,
+    sql["page_diags_simple"] = _simple_prefix(False) + """,
 turnsl AS (
   SELECT conv_id, turn_idx, count(*) AS n_lines FROM tl GROUP BY conv_id, turn_idx
 ),

@@ -162,6 +162,9 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
         " ".join([w] * 8) + " [note: x]",
         # multi-turn doc (5 lines -> 2 turns): conversation windows
         " ".join([f"tok{i}" for i in range(36)]),
+        # piped rows: two adjacent table lines (tables variant groups
+        # them into ONE region; plain variant treats them as text)
+        " ".join([f"|c{i}|" for i in range(16)]),
     ]
     # bulk of plain pages with varying lengths
     docs += [" ".join([f"w{j}" for j in range(3 + (i * 7) % 29)]) for i in range(40)]
@@ -173,7 +176,11 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
     )
     srows = scols = None
-    for qname in ("extract_spans_simple", "page_diags_simple"):
+    for qname in (
+        "extract_spans_simple",
+        "extract_spans_tables_simple",
+        "page_diags_simple",
+    ):
         qdf = entrymod.queries()[qname](spark, str(tmp_path))
         qcols = qdf.columns
         qrows = [tuple(r) for r in qdf.collect()]
@@ -188,6 +195,14 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
         assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
         if qname == "extract_spans_simple":
             srows, scols = qrows, qcols
+        if qname == "extract_spans_tables_simple":
+            # the piped doc forms ONE table region of two spans
+            tspans = [
+                dict(zip(qcols, r)) for r in qrows
+                if dict(zip(qcols, r))["region_type"] == "table"
+            ]
+            assert len(tspans) == 2
+            assert len({t["region_seq"] for t in tspans}) == 1
     con.close()
 
     # sanity: the planted structure actually fired
