@@ -78,6 +78,16 @@ class ExtractConfig:
     # without a separator rule
     band_blank_gap: int = 2
 
+    # --- full-layout mode (the reference's --full-layout/--no-full-
+    # layout CLI flag, cli.py:72, eynollah.py:1837,2246-2275: the
+    # second model pass detecting headers and drop capitals only runs
+    # in full layout) ---
+    # off: header/dropcap line classes are skipped (such lines are
+    # plain text), the per-region header vote never runs, and the
+    # drop-capital merge has nothing to merge — the no-full-layout
+    # output shape
+    full_layout: bool = True
+
     # --- per-region header majority vote (J8 analog,
     # utils/__init__.py:799-858: a region is relabeled header when the
     # header model's pixel mass >= its text mass AND the region is

@@ -98,12 +98,15 @@ class LineModel:
         first = stripped.str.slice(0, 1)
         dropcap = (slen == 1) & (first >= "A").to_numpy() & (first <= "Z").to_numpy()
 
-        # first-match-wins precedence, applied in reverse priority
+        # first-match-wins precedence, applied in reverse priority;
+        # header/dropcap only exist in full-layout mode (the M6/M7
+        # second-model pass, eynollah.py:1837)
         if cfg.enable_tables:
             table = stripped.str.count(r"\|").to_numpy() >= cfg.table_min_pipes
             out[table] = C_TABLE
-        out[dropcap] = C_DROPCAP
-        out[header] = C_HEADER
+        if cfg.full_layout:
+            out[dropcap] = C_DROPCAP
+            out[header] = C_HEADER
         out[marg] = C_MARG
         out[sep] = C_SEP
         out[blank] = C_BLANK
@@ -145,8 +148,9 @@ class LineModel:
                 >= cfg.table_min_pipes
             )
             out[table] = C_TABLE
-        out[dropcap] = C_DROPCAP
-        out[header] = C_HEADER
+        if cfg.full_layout:
+            out[dropcap] = C_DROPCAP
+            out[header] = C_HEADER
         out[marg] = C_MARG
         out[sep] = C_SEP
         out[blank] = C_BLANK
@@ -468,7 +472,9 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
     # character mass reaches its text mass relabels to ONE header
     # region. Segment reductions over the region runs; the sentinel
     # pad keeps end == n a legal reduceat index.
-    if len(starts):
+    if len(starts) and not cfg.full_layout:
+        reg_label = cls[starts]  # no-full-layout: vote disabled
+    elif len(starts):
         reg_label = cls[starts]
         idx2v = np.empty(2 * len(starts), dtype=np.int64)
         idx2v[0::2] = starts

@@ -91,10 +91,13 @@ def classify_line_naive(line: str, cfg: ExtractConfig) -> str:
         return "separator"
     if s.startswith("[note:") and s.endswith("]"):
         return "marginalia"
-    if len(s) <= cfg.header_max_len and _is_header_rule(s):
-        return "header"
-    if len(s) == 1 and "A" <= s <= "Z":
-        return "dropcap"
+    if cfg.full_layout:
+        # header/dropcap only exist in full-layout mode (the M6/M7
+        # second-model pass, eynollah.py:1837)
+        if len(s) <= cfg.header_max_len and _is_header_rule(s):
+            return "header"
+        if len(s) == 1 and "A" <= s <= "Z":
+            return "dropcap"
     if cfg.enable_tables and s.count("|") >= cfg.table_min_pipes:
         return "table"
     return "text"
@@ -272,8 +275,9 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
     # utils/__init__.py:799-858: region relabeled header when the
     # header model's pixel mass >= its text mass and the region is
     # wide/short): a short text region whose MODEL-B header-line
-    # character mass reaches its text mass becomes one header region
-    for r in regions:
+    # character mass reaches its text mass becomes one header region.
+    # Only in full-layout mode (header detection is gated there).
+    for r in regions if cfg.full_layout else ():
         if r.rtype != RT_TEXT:
             continue
         line_ids = [t[0] for t in r.spans]

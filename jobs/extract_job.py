@@ -37,6 +37,11 @@ def main() -> None:
         help="enable 1-D closing: a single interior blank line bridges "
         "two same-class runs into one region",
     )
+    ap.add_argument(
+        "--no-full-layout", action="store_true",
+        help="skip header/drop-capital detection (the reference's "
+        "--no-full-layout mode)",
+    )
     ap.add_argument("--run-id", default="run0")
     args = ap.parse_args()
 
@@ -51,6 +56,7 @@ def main() -> None:
         enable_tables=args.tables,
         enable_line_split=args.line_split,
         region_blank_bridge=args.blank_bridge,
+        full_layout=not args.no_full_layout,
     )
     metrics = ExtractMetrics.create(spark)
 

@@ -619,3 +619,73 @@ def test_vote_blocks_corpus_agreement():
     again = generate_local(CorpusSpec(n_convs=10, seed=7, vote_blocks=False))
     assert base.equals(again)
     assert not base["text"].str.contains("§", regex=False).any()
+
+
+def test_no_full_layout_mode():
+    """--no-full-layout analog (cli.py:72, eynollah.py:1837): header
+    and drop-capital detection are skipped — such lines are plain
+    text, the vote never fires, and the drop-capital merge has nothing
+    to merge. Kernel and oracle in lockstep; default mode unchanged."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(full_layout=False)
+    text = (
+        "## Heading\nA\nplain body text line here\n\n"
+        "§SETUP: env\n§USAGE: cli\n\nmore body paragraph text"
+    )
+
+    def spans(c=None):
+        pdf = pd.DataFrame(
+            {"conv_id": ["c"], "turn_idx": [0], "role": ["user"], "text": [text]}
+        )
+        out = analyze_turns_batch(pdf, LineModel(c) if c else None)
+        return [
+            (int(t.span_idx), t.region_type, int(t.region_seq),
+             int(t.char_start), int(t.char_end), t.text)
+            for t in out.itertuples(index=False)
+        ]
+
+    got = spans(cfg)
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user", cfg)
+    ]
+    assert got == want
+    types = {g[1] for g in got}
+    assert "header" not in types and "drop-capital" not in types
+    # '## Heading' and 'A' are ordinary text lines now: 'A' is a
+    # <= 2-char fragment, so §9 adherence sticks it to its overlap
+    # neighbor — all in ONE text region with the body line
+    assert [g[5] for g in got[:2]] == ["## Heading A", "plain body text line here"]
+    assert len({g[2] for g in got[:2]}) == 1
+
+    # full layout (default): header region, merged dropcap, vote fires
+    full = spans()
+    assert full == _oracle_spans(text, "user")
+    ftypes = [g[1] for g in full]
+    assert "header" in ftypes
+    assert any(g[5].startswith("Aplain") for g in full)  # dropcap merged
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=_text, role=st.sampled_from(["user", "assistant", "tool"]))
+def test_fuzz_agreement_no_full_layout(text, role):
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(full_layout=False)
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": [role], "text": [text]}
+    )
+    out = analyze_turns_batch(pdf, LineModel(cfg))
+    got = [
+        (int(t.span_idx), t.region_type, int(t.region_seq), int(t.char_start),
+         int(t.char_end), t.text)
+        for t in out.itertuples(index=False)
+    ]
+    want = [
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, role, cfg)
+    ]
+    assert got == want, repr(text)
