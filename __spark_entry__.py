@@ -570,6 +570,19 @@ def _q_extract_spans_tables_simple(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_extract_spans_nofull_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-mode extraction with full_layout off (the reference's
+    --no-full-layout): no header/drop-capital detection."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(
+            max_columns=1, small_fragment_max_len=0, full_layout=False
+        ),
+    )
+
+
 def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPEC §11 diagnostics of the simple-mode kernel, with an exact
     SQL oracle (see _q_extract_spans_simple for the mode)."""
@@ -642,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
         "extract_spans_tables_simple": _q_extract_spans_tables_simple,
+        "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
         "page_diags_simple": _q_page_diags_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
@@ -1718,13 +1732,24 @@ FROM turns
     # defaults: border_scan_lines=3, binarize_retry_threshold=40.0,
     # header_max_len=60, header_vote_max_lines=2, band_blank_gap=2,
     # separator_min_len=3; LINES_PER_TURN=4, TOKENS_PER_LINE=8.
-    def _cls_case(c: str, tables: bool = False) -> str:
+    def _cls_case(c: str, tables: bool = False, full_layout: bool = True) -> str:
         # the table rule sits after every other class, before 'text'
-        # (SPEC §12) — mirrored only in the tables variant
+        # (SPEC §12) — mirrored only in the tables variant; the
+        # header/dropcap arms only exist in full-layout mode (SPEC §4
+        # full-layout gate) — without them the §5h vote (hmass = 0)
+        # and the §8 merge (no dropcap regions) are automatic no-ops
         table_arm = (
             "WHEN length({c}) - length(replace({c}, '|', '')) >= 2 "
             "THEN 'table' "
             if tables
+            else ""
+        )
+        layout_arms = (
+            "WHEN length({c}) <= 60 AND "
+            "regexp_matches({c}, '^(#{1,6} |[A-Z][A-Z0-9_]{2,11}:)') "
+            "THEN 'header' "
+            "WHEN length({c}) = 1 AND {c} >= 'A' AND {c} <= 'Z' THEN 'dropcap' "
+            if full_layout
             else ""
         )
         return (
@@ -1732,15 +1757,12 @@ FROM turns
             "WHEN length({c}) >= 3 AND regexp_full_match({c}, '[-*=_—–~]+') "
             "THEN 'separator' "
             "WHEN {c} LIKE '[note:%' AND {c} LIKE '%]' THEN 'marginalia' "
-            "WHEN length({c}) <= 60 AND "
-            "regexp_matches({c}, '^(#{1,6} |[A-Z][A-Z0-9_]{2,11}:)') "
-            "THEN 'header' "
-            "WHEN length({c}) = 1 AND {c} >= 'A' AND {c} <= 'Z' THEN 'dropcap' "
+            + layout_arms
             + table_arm
             + "ELSE 'text' END"
         ).replace("{c}", c)
 
-    def _simple_prefix(tables: bool = False) -> str:
+    def _simple_prefix(tables: bool = False, full_layout: bool = True) -> str:
         return """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
@@ -1961,8 +1983,8 @@ withreg AS (
          dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
            AS region_num
   FROM numbered
-)""".replace("__CLS_A__", _cls_case("s", tables)).replace(
-            "__CLS_B__", _cls_case("bs", tables)
+)""".replace("__CLS_A__", _cls_case("s", tables, full_layout)).replace(
+            "__CLS_B__", _cls_case("bs", tables, full_layout)
         )
 
     _spans_final = """
@@ -1989,6 +2011,11 @@ FROM withreg
     # fusion arm cannot fire on wrap-derived corpora (kernel fixtures
     # gate it); the table class/runs ARE exercised adversarially.
     sql["extract_spans_tables_simple"] = _simple_prefix(True) + _spans_final
+    # --no-full-layout variant: no header/dropcap classes, no vote,
+    # no drop-capital merge (all structural no-ops in the shared CTEs)
+    sql["extract_spans_nofull_simple"] = (
+        _simple_prefix(False, full_layout=False) + _spans_final
+    )
 
     # page_diags_simple: SPEC §11 diagnostics of the same simple-mode
     # kernel — n_lines/n_spans/n_regions (post drop-capital merge),

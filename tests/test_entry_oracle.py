@@ -179,6 +179,7 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
     for qname in (
         "extract_spans_simple",
         "extract_spans_tables_simple",
+        "extract_spans_nofull_simple",
         "page_diags_simple",
     ):
         qdf = entrymod.queries()[qname](spark, str(tmp_path))
