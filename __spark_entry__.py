@@ -182,6 +182,34 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, k=CONTAM_K)
 
 
+PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length percentiles (Spark's sort-based `percentile`,
+    linear interpolation — same definition as DuckDB quantile_cont):
+    the corpus length-distribution probe run before choosing context
+    windows / packing strategies."""
+    d = _docs(spark, sf_dir)
+    arr = ",".join(str(p) for p in PCTS)
+    cols = [
+        F.round(
+            F.expr(f"percentile(n_chars, array({arr}))")[i], 6
+        ).alias(f"chars_p{int(p * 100)}")
+        for i, p in enumerate(PCTS)
+    ]
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    tok_cols = [
+        F.round(F.expr(f"percentile(_nt, array({arr})) ")[i], 6).alias(
+            f"tokens_p{int(p * 100)}"
+        )
+        for i, p in enumerate(PCTS)
+    ]
+    return d.withColumn("_nt", n_tok).agg(
+        F.count(F.lit(1)).alias("n_docs"), *cols, *tok_cols
+    )
+
+
 TOP_TOKENS_K = 50
 
 
@@ -627,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "top_tokens": _q_top_tokens,
+        "length_percentiles": _q_length_percentiles,
         "repetition_stats": _q_repetition_stats,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1134,6 +1163,21 @@ SELECT doc_id,
        list_min(list_transform(range(greatest(len(tk) - 3, 0) + 1),
                                i -> {shingle_h})) AS fingerprint
 FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+"""
+
+    pc_chars = ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 6) AS chars_p{int(p*100)}"
+        for p in PCTS
+    )
+    pc_toks = ", ".join(
+        f"round(quantile_cont(nt, {p}), 6) AS tokens_p{int(p*100)}"
+        for p in PCTS
+    )
+    sql["length_percentiles"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs, {pc_chars}, {pc_toks}
+FROM (SELECT n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS nt
+      FROM documents)
 """
 
     sql["top_tokens"] = f"""
