@@ -303,7 +303,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 2
-KMEANS_SCALE = 1 << 20
+KMEANS_SCALE = 1 << 12
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,7 +115,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
-                "n": 3,
+                # sample counts are per-section: the headline extraction
+                # is best-of-3, each operator query best-of-2 alternating
+                # passes (the runs arrays are the raw samples)
+                "n_extract_runs": len(extract_runs),
+                "n_query_passes": 2,
                 "extract_runs": extract_runs,
                 "query_runs": query_runs,
                 "extract_turns": n_turns,

@@ -42,9 +42,10 @@ from eynollah_spark.config import (
 )
 
 # blocks longer than this bypass the vectorized int64 LS-slope gate
-# (cn * sk2 ~ cn^4/12 wraps past ~2^21 lines) and use Python's exact
-# integer arithmetic instead
-_LS_GATE_MAX_LINES = 1 << 20
+# and use Python's exact integer arithmetic instead. B_e = cn*sk2 -
+# sk^2 ~ cn^4/12 wraps int64 at cn ~ (12*2^63)^(1/4) ~ 102,570; 2^16
+# leaves a ~2^10 margin that also covers A_e's extra indent factor
+_LS_GATE_MAX_LINES = 1 << 16
 
 # integer line classes (pixel-code analog, eynollah.py:1269-1282)
 C_BLANK, C_SEP, C_MARG, C_HEADER, C_DROPCAP, C_TEXT = 0, 1, 2, 3, 4, 5
@@ -545,11 +546,15 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             A_e = cn_e * sky - sk * sy
             B_e = cn_e * sk2 - sk * sk
             skewed = (B_e > 0) & (np.abs(A_e) >= cfg.slope_threshold * B_e)
-            # int64 wraps around cn ~ 2^21 lines (cn * sk2 ~ cn^4/12);
-            # recompute such blocks' gate with Python's arbitrary-
-            # precision ints — same arithmetic as the per-page path
-            # and the oracle
-            oversize = np.flatnonzero(cn_e > _LS_GATE_MAX_LINES)
+            # recompute oversized blocks' gate with Python's arbitrary-
+            # precision ints — same arithmetic as the per-page path and
+            # the oracle. Two wrap routes: B_e ~ cn^4/12 (cn bound) and
+            # A_e <= ~1.5*cn^2*sum(leads) (pathological indents); the
+            # float test is conservative with 3x headroom under 2^63
+            unsafe = (
+                cn_e.astype(np.float64) ** 2 * sy.astype(np.float64)
+            ) > 3.0e18
+            oversize = np.flatnonzero((cn_e > _LS_GATE_MAX_LINES) | unsafe)
             for j in oversize:
                 st_j, cn_j = int(st_e[j]), int(cn_e[j])
                 A, B = _ls_slope_int(

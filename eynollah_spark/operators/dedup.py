@@ -264,8 +264,11 @@ def near_dup_clusters(
 
     Returns (doc_id, cluster_id, cluster_size); singletons cluster to
     themselves. The returned frame is localCheckpoint-materialized
-    (lineage truncated to the checkpointed labels), and every
-    operator-internal cache is unpersisted before returning.
+    (self-contained lineage; its one checkpoint is caller-owned), and
+    every operator-internal PERSISTED frame is unpersisted before
+    returning — deterministically, which is why the loop uses
+    persist/unpersist rather than intra-loop checkpoints (see the
+    lineage note in the loop).
 
     ``doc_id`` must be a numeric column: labels are propagated as
     bigint, and a silent string->NULL cast would corrupt every
@@ -294,7 +297,7 @@ def near_dup_clusters(
     ).persist()
     try:
         changed = 1
-        for it in range(max_iters):
+        for _ in range(max_iters):
             prop = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
@@ -305,13 +308,14 @@ def near_dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
-            )
-            if (it + 1) % 5 == 0:
-                # truncate the one-join-per-round lineage so analysis
-                # time and task closures stay bounded on deep chains
-                new_labels = new_labels.localCheckpoint(eager=True)
-            else:
-                new_labels = new_labels.persist()
+            ).persist()
+            # NOTE on lineage: the plan grows by one join per round,
+            # bounded by max_iters (20) — acceptable analysis depth.
+            # An intra-loop localCheckpoint would truncate it, but a
+            # checkpointed frame's blocks are NOT released by
+            # DataFrame.unpersist() (only by nondeterministic
+            # ContextCleaner GC), which leaks a full label-table copy
+            # per checkpoint; persist/unpersist keeps cleanup exact.
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")

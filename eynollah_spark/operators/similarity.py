@@ -331,9 +331,10 @@ def _int_dot(a, b):
 
 def _int_cosine(a, b):
     """Cosine from exact integer dot/norms: the three folds are exact
-    int64 (components are <= 2^20-scale, dims ~64, sums < 2^63), so
-    the double conversion and final IEEE ops are bit-identical on any
-    engine — no float-summation-order hazard."""
+    int64 (kmeans_lloyd's exactness guard bounds dim*(n*V)^2 under
+    2^62, where V is the max quantized component and n the worst-case
+    cluster size), so the double conversion and final IEEE ops are
+    bit-identical on any engine — no float-summation-order hazard."""
     return F.coalesce(
         _int_dot(a, b).cast("double")
         / (
@@ -350,18 +351,24 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: int = 1 << 20,
+    scale: int = 1 << 12,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column — the
     offline training step for ``ivf_topk``'s coarse quantizer
     (faiss-style IVF training, expressed Spark-first).
 
     Engine-exact by construction: components are quantized to
-    ``round(x * 2^20)`` bigints; centroids are kept as INTEGER SUM
-    vectors (cosine is scale-invariant, so the mean's division never
-    happens); every dot/norm is an exact int64 fold. Init picks the k
-    corpus vectors with smallest md5-rank via orderBy().limit() —
-    TakeOrderedAndProject, no global sort.
+    ``round(x * scale)`` bigints (scale 2^12 by default); centroids
+    are kept as INTEGER SUM vectors (cosine is scale-invariant, so
+    the mean's division never happens); every dot/norm is an exact
+    int64 fold. A centroid-sum component can reach ``n * V`` (n =
+    cluster size, V = max quantized magnitude), so before iterating
+    the operator measures (count, V, dim) in one aggregate and
+    REQUIRES ``dim * (n * V)^2 <= 2^62`` — raising with guidance to
+    lower ``scale`` instead of silently wrapping (Spark) or erroring
+    mid-query (DuckDB). Init picks the k corpus vectors with smallest
+    md5-rank via orderBy().limit() — TakeOrderedAndProject, no global
+    sort.
 
     Per iteration: broadcast the k sum-vectors -> nearest-centroid
     assignment (argmax cosine, centroid-id tiebreak; map-side, no
@@ -381,6 +388,21 @@ def kmeans_lloyd(
             lambda x: F.round(x.cast("double") * scale).cast("bigint"),
         ).alias("v"),
     )
+    # int64-exactness guard (one aggregate job): worst-case centroid
+    # self-dot is dim * (n * V)^2 — must fit 2^62 so every fold stays
+    # exact on both engines
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("vmax"),
+        F.max(F.size("v")).alias("dim"),
+    ).collect()[0]
+    n_total, vmax, dim = int(stats.n or 0), int(stats.vmax or 0), int(stats.dim or 0)
+    if n_total and dim * (n_total * max(vmax, 1)) ** 2 > (1 << 62):
+        raise ValueError(
+            f"kmeans_lloyd int64 exactness bound exceeded: dim={dim}, "
+            f"n={n_total}, max|q|={vmax} (scale={scale}); lower `scale` "
+            "so that dim * (n * max|x|*scale)^2 <= 2^62"
+        )
     hcol = (
         F.conv(
             F.substring(

@@ -176,21 +176,27 @@ def contamination_check(
     set) document — the standard n-gram-overlap contamination check a
     training-data pipeline runs before every release.
 
-    Scale shape: the corpus side shingles map-side (explode, no
-    shuffle); the BENCHMARK side is broadcast — eval sets are small and
-    bounded (10^3-10^5 docs) while the corpus is 100 TB, so the join
-    must never shuffle the corpus on `shingle`. One corpus-side
-    groupBy((doc_id, bench_id)) remains. Pure Catalyst, no UDFs.
+    Scale shape: the corpus side shingles MAP-SIDE — per-doc distinct
+    shingles come from the row-local ``shingle_array`` (array_distinct
+    inside the row) and explode, with NO corpus shuffle on shingle
+    (``word_shingles``' global ``.distinct()`` would be exactly that
+    shuffle); the BENCHMARK side is broadcast — eval sets are small
+    and bounded (10^3-10^5 docs) while the corpus is 100 TB. The one
+    remaining exchange is the groupBy((doc_id, bench_id)) after the
+    broadcast join. Pure Catalyst, no UDFs.
 
     Returns (doc_id, bench_id, n_shared) for pairs with at least
     ``min_shared`` shared shingles, self-pairs excluded (a benchmark
     drawn from the corpus trivially matches itself).
     """
-    from eynollah_spark.operators.dedup import word_shingles
+    from eynollah_spark.operators.dedup import shingle_array
 
-    sh_d = word_shingles(docs, text_col, k)
-    sh_b = word_shingles(benchmark, text_col, k).withColumnRenamed(
-        "doc_id", "bench_id"
+    sh_d = docs.select(
+        "doc_id", F.explode(shingle_array(F.col(text_col), k)).alias("shingle")
+    )
+    sh_b = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
     out = (
         sh_d.join(F.broadcast(sh_b), "shingle")

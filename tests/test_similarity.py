@@ -128,3 +128,19 @@ def test_kmeans_lloyd_groups_planted_clusters(spark):
 
     again = kmeans_lloyd(e.repartition(7), k=2, iters=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kmeans_exactness_guard_raises(spark):
+    """The int64 exactness bound (dim * (n*V)^2 <= 2^62) must refuse
+    configurations that would silently wrap the integer folds (Spark)
+    or error mid-query (DuckDB) instead of producing garbage."""
+    import pytest
+
+    from eynollah_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [1000.0] * 64) for i in range(50)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="exactness bound"):
+        kmeans_lloyd(e, k=2, iters=1, scale=1 << 20)
+    # the default scale keeps the same corpus inside the bound
+    assert kmeans_lloyd(e, k=2, iters=1).count() == 50

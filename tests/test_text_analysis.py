@@ -93,13 +93,17 @@ def test_contamination_check_finds_planted_ngram(spark):
 
 
 def test_contamination_plan_broadcasts_benchmark(spark):
-    """Scale shape: the benchmark side must be broadcast — the corpus
-    is never shuffled on shingle."""
+    """Scale shape: the benchmark side must be broadcast and the
+    corpus must NOT be shuffled on shingle — the only exchange left is
+    the final (doc_id, bench_id) aggregation."""
     from eynollah_spark.operators.text_analysis import contamination_check
 
     docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
     plan = contamination_check(docs, docs, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one hash exchange (the groupBy) on the corpus side; a
+    # shingle-keyed exchange (word_shingles' .distinct()) would add one
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_pii_scrub_planted(spark):
