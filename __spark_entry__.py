@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from eynollah_spark.operators import docpage, relational
 from eynollah_spark.operators.dedup import (
@@ -273,6 +273,29 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_N,
         bands=MINHASH_BANDS,
         threshold=CLUSTER_T,
+    )
+
+
+def _q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster curation: near-dup clusters (connected
+    components over the LSH graph) crossed with the quality score —
+    one survivor per cluster, the HIGHEST-quality member (ties to the
+    lowest doc_id), instead of keep-lowest-id. The per-cluster argmax
+    is a window over cluster_id (partial shuffle on the tiny labels
+    frame, not the corpus)."""
+    d = _docs(spark, sf_dir)
+    clusters = near_dup_clusters(
+        d, k=JACCARD_K, threshold=CLUSTER_T
+    ).select("doc_id", "cluster_id")
+    q = quality_features(d).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_id", "quality_score")
     )
 
 
@@ -664,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_keep_best": _q_near_dup_keep_best,
         "simhash_pairs": _q_simhash,
         # similarity search (ANN paths are md5-deterministic, so even
         # the approximate ones carry exact DuckDB oracles)
@@ -1475,6 +1499,39 @@ cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM cl
+"""
+
+    sql["near_dup_keep_best"] = f"""
+WITH RECURSIVE {minhash_ctes},
+pairsq AS (
+  SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b)
+  WHERE jaccard >= {CLUSTER_T}
+),
+edges AS (
+  SELECT CAST(doc_a AS BIGINT) AS s, CAST(doc_b AS BIGINT) AS d FROM pairsq
+  UNION ALL
+  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT) FROM pairsq
+),
+reach(node, lab) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.node
+),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+qs AS (
+  SELECT doc_id,
+         round(least({n_ws} / 100.0, 1.0) * 0.4
+               + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+               + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM documents
+)
+SELECT doc_id, cluster_id, quality_score FROM (
+  SELECT c.doc_id, c.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM cl c JOIN qs q USING (doc_id))
+WHERE rn = 1
 """
 
     tok_h = _h64sql("tok")
