@@ -182,6 +182,17 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(d, bench, k=CONTAM_K)
 
 
+PACK_BUDGET = 512
+
+
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous-fill pack assignment at a 512-token
+    budget, via the two-level distributed prefix sum."""
+    from eynollah_spark.operators.text_analysis import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -679,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "top_tokens": _q_top_tokens,
         "length_percentiles": _q_length_percentiles,
+        "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition_stats,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1197,6 +1209,21 @@ FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
         f"round(quantile_cont(nt, {p}), 6) AS tokens_p{int(p*100)}"
         for p in PCTS
     )
+    sql["pack_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM t
+"""
+
     sql["length_percentiles"] = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs, {pc_chars}, {pc_toks}
 FROM (SELECT n_chars,

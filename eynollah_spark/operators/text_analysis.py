@@ -302,3 +302,58 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
         )
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    bucket_size: int = 1 << 16,
+) -> DataFrame:
+    """Sequence packing for training: assign documents (in doc_id
+    order) to consecutive packs of ~``budget`` tokens — pack_id =
+    floor(exclusive_prefix_tokens / budget), the contiguous-fill rule
+    (a doc longer than the budget spans its own pack(s) naturally).
+
+    Scale shape — the global prefix sum is TWO-LEVEL, never a
+    single-partition window: (1) per-bucket token totals (one tiny
+    groupBy on doc_id // bucket_size), (2) bucket offsets via a window
+    over the BUCKET table (rows = corpus/bucket_size, broadcast back),
+    (3) within-bucket exclusive cumsum + offset. At 10^9 docs the
+    bucket table is ~15k rows; no stage ever sorts the corpus in one
+    partition. Deterministic, exact SQL oracle via a plain window
+    cumsum.
+
+    Returns (doc_id, n_tokens, pack_id).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    base = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / bucket_size).cast("bigint").alias("_b"),
+    )
+    bucket_tot = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(wb), F.lit(0))
+    ).select("_b", "_off")
+    win = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_pre",
+            F.col("_off") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.floor(F.col("_pre") / budget).cast("bigint").alias("pack_id"),
+        )
+    )

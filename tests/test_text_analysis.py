@@ -175,3 +175,36 @@ def test_pii_and_repetition_oracle_parity_planted(spark, tmp_path):
         drows = sorted(con.sql(f"SELECT {proj} FROM res").fetchall())
         assert srows == drows, (name, srows[:2], drows[:2])
     con.close()
+
+
+def test_pack_documents_contiguous_fill(spark):
+    """Packing: pack_id = floor(exclusive-prefix-tokens / budget) in
+    doc_id order; an over-budget doc spans its own pack; the two-level
+    prefix sum is partition- AND bucket-boundary-invariant."""
+    from eynollah_spark.operators.text_analysis import pack_documents
+
+    rows = [
+        (0, "a b c d"),          # 4 tokens, pre=0  -> pack 0
+        (1, "a b c d e"),        # 5,        pre=4  -> pack 0
+        (2, " ".join(["x"] * 25)),  # 25,    pre=9  -> pack 0
+        (3, "a b"),              # 2,        pre=34 -> pack 3
+        (4, ""),                 # 0,        pre=36 -> pack 3
+        (5, "a"),                # 1,        pre=36 -> pack 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_documents(docs, budget=10).collect()
+    }
+    assert got == {
+        0: (4, 0), 1: (5, 0), 2: (25, 0), 3: (2, 3), 4: (0, 3), 5: (1, 3)
+    }
+    # bucket boundaries (bucket_size=2 forces the multi-bucket path)
+    # and partitioning must not change the assignment
+    small = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_documents(
+            docs.repartition(5), budget=10, bucket_size=2
+        ).collect()
+    }
+    assert small == got
