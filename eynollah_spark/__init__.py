@@ -30,6 +30,19 @@ from eynollah_spark.operators.extract import (
     extract_spans_salted,
     probe_turn_metadata,
 )
+from eynollah_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
+from eynollah_spark.operators.text_analysis import (
+    contamination_check,
+    pack_documents,
+    pii_scrub,
+    quality_features,
+    repetition_stats,
+)
+from eynollah_spark.operators.similarity import brute_force_topk, kmeans_lloyd
 
 __all__ = [
     "ExtractConfig",
@@ -38,5 +51,15 @@ __all__ = [
     "extract_spans_salted",
     "analyze_pages",
     "probe_turn_metadata",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "contamination_check",
+    "pack_documents",
+    "pii_scrub",
+    "quality_features",
+    "repetition_stats",
+    "brute_force_topk",
+    "kmeans_lloyd",
 ]
 __version__ = "0.1.0"

@@ -689,3 +689,22 @@ def test_fuzz_agreement_no_full_layout(text, role):
         for s in analyze_turn_naive(text, role, cfg)
     ]
     assert got == want, repr(text)
+
+
+@settings(max_examples=80, deadline=None)
+@given(text=_text, role=st.sampled_from(["user", "assistant", "tool"]))
+def test_fuzz_diag_agreement_all_modes(text, role):
+    """SPEC §11 diagnostics stay in lockstep under the optional modes
+    (tables + line-split + blank-bridge), not just span emission."""
+    cfg = _fuzz_cfg()
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": [role], "text": [text]}
+    )
+    g = page_diags_batch(pdf, LineModel(cfg)).iloc[0]
+    e = page_diag_naive(text, role, cfg)
+    assert e["n_lines"] == g["n_lines"]
+    assert e["n_spans"] == g["n_spans"]
+    assert e["n_regions"] == g["n_regions"]
+    assert e["max_columns"] == g["max_columns"]
+    assert abs(e["slope"] - g["slope"]) < 1e-12
+    assert e["used_binarized"] == bool(g["used_binarized"])
