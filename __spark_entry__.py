@@ -296,7 +296,11 @@ def _q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, not the corpus)."""
     d = _docs(spark, sf_dir)
     clusters = near_dup_clusters(
-        d, k=JACCARD_K, threshold=CLUSTER_T
+        d,
+        k=JACCARD_K,
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        threshold=CLUSTER_T,
     ).select("doc_id", "cluster_id")
     q = quality_features(d).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -1505,10 +1509,10 @@ WHERE jaccard >= {JACCARD_T}
 
     # near-dup clustering: connected components over the LSH pair
     # graph — transitive min-label reachability as a recursive CTE,
-    # mirroring the Spark iterative label propagation exactly
-    sql["near_dup_clusters"] = f"""
-WITH RECURSIVE {minhash_ctes},
-pairsq AS (
+    # mirroring the Spark iterative label propagation exactly. The
+    # cluster CTE block is shared with near_dup_keep_best so the two
+    # oracles can never disagree about what a cluster is.
+    _cluster_ctes = f"""pairsq AS (
   SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b)
   WHERE jaccard >= {CLUSTER_T}
 ),
@@ -1522,7 +1526,11 @@ reach(node, lab) AS (
   UNION
   SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.node
 ),
-cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)"""
+
+    sql["near_dup_clusters"] = f"""
+WITH RECURSIVE {minhash_ctes},
+{_cluster_ctes}
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM cl
@@ -1530,21 +1538,7 @@ FROM cl
 
     sql["near_dup_keep_best"] = f"""
 WITH RECURSIVE {minhash_ctes},
-pairsq AS (
-  SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b)
-  WHERE jaccard >= {CLUSTER_T}
-),
-edges AS (
-  SELECT CAST(doc_a AS BIGINT) AS s, CAST(doc_b AS BIGINT) AS d FROM pairsq
-  UNION ALL
-  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT) FROM pairsq
-),
-reach(node, lab) AS (
-  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
-  UNION
-  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.node
-),
-cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+{_cluster_ctes},
 qs AS (
   SELECT doc_id,
          round(least({n_ws} / 100.0, 1.0) * 0.4

@@ -361,14 +361,17 @@ def kmeans_lloyd(
     ``round(x * scale)`` bigints (scale 2^12 by default); centroids
     are kept as INTEGER SUM vectors (cosine is scale-invariant, so
     the mean's division never happens); every dot/norm is an exact
-    int64 fold. A centroid-sum component can reach ``n * V`` (n =
-    cluster size, V = max quantized magnitude), so before iterating
-    the operator measures (count, V, dim) in one aggregate and
-    REQUIRES ``dim * (n * V)^2 <= 2^62`` — raising with guidance to
-    lower ``scale`` instead of silently wrapping (Spark) or erroring
-    mid-query (DuckDB). Init picks the k corpus vectors with smallest
-    md5-rank via orderBy().limit() — TakeOrderedAndProject, no global
-    sort.
+    int64 fold. Exactness invariant: every fold is sum_j a_j*b_j, so
+    it stays exact while every participating component (quantized
+    vectors AND centroid sums) satisfies ``|comp| <= sqrt(2^61/dim)``
+    — enforced LAZILY by an in-plan ``assert_true`` on both frames,
+    so the operator stays a lazy DataFrame transform (no eager
+    corpus scan), rejects only inputs whose ACTUAL sums are at risk
+    (a worst-case pre-check would refuse working large corpora), and
+    fails loudly at action time instead of silently wrapping (Spark)
+    or erroring mid-query (DuckDB). Init picks the k corpus vectors
+    with smallest md5-rank via orderBy().limit() —
+    TakeOrderedAndProject, no global sort.
 
     Per iteration: broadcast the k sum-vectors -> nearest-centroid
     assignment (argmax cosine, centroid-id tiebreak; map-side, no
@@ -381,28 +384,37 @@ def kmeans_lloyd(
     assignment; cosine (to the centroid, rounded 6) is the per-vector
     quantization quality.
     """
+    def _checked(col):
+        # per-row lazy exactness guard IN THE VALUE PATH (a side
+        # column would be pruned by Catalyst): |component| <=
+        # sqrt(2^61/dim) guarantees every dim-length int64 fold of
+        # such components stays under 2^61. Under ANSI (Spark 4
+        # default) an overflow would already error — this replaces
+        # the opaque ArithmeticException with an actionable message.
+        # (The per-dimension SUM feeding a centroid is itself safe:
+        # with |val| <= 2^27ish the long agg overflows only past
+        # ~6e10 members in ONE cluster.)
+        lim = F.floor(F.sqrt(F.lit(float(1 << 61)) / F.size(col)))
+        ok = F.array_max(F.transform(col, lambda x: F.abs(x))) <= lim
+        return F.when(ok, col).otherwise(
+            F.raise_error(
+                F.lit(
+                    "kmeans_lloyd int64 exactness bound exceeded: a "
+                    f"quantized component or centroid sum (scale={scale}) "
+                    "broke |comp| <= sqrt(2^61/dim); lower `scale`"
+                )
+            )
+        )
+
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+        _checked(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+            )
         ).alias("v"),
     )
-    # int64-exactness guard (one aggregate job): worst-case centroid
-    # self-dot is dim * (n * V)^2 — must fit 2^62 so every fold stays
-    # exact on both engines
-    stats = c.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("vmax"),
-        F.max(F.size("v")).alias("dim"),
-    ).collect()[0]
-    n_total, vmax, dim = int(stats.n or 0), int(stats.vmax or 0), int(stats.dim or 0)
-    if n_total and dim * (n_total * max(vmax, 1)) ** 2 > (1 << 62):
-        raise ValueError(
-            f"kmeans_lloyd int64 exactness bound exceeded: dim={dim}, "
-            f"n={n_total}, max|q|={vmax} (scale={scale}); lower `scale` "
-            "so that dim * (n * max|x|*scale)^2 <= 2^62"
-        )
     hcol = (
         F.conv(
             F.substring(
@@ -447,9 +459,11 @@ def kmeans_lloyd(
             .agg(F.sum("val").alias("s"))
             .groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
-                    lambda x: x["s"],
+                _checked(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                        lambda x: x["s"],
+                    )
                 ).alias("cvec")
             )
         )

@@ -328,13 +328,9 @@ def pack_documents(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-        F.size(toks)
-    )
     base = docs.select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") / bucket_size).cast("bigint").alias("_b"),
     )
     bucket_tot = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))

@@ -131,16 +131,22 @@ def test_kmeans_lloyd_groups_planted_clusters(spark):
 
 
 def test_kmeans_exactness_guard_raises(spark):
-    """The int64 exactness bound (dim * (n*V)^2 <= 2^62) must refuse
-    configurations that would silently wrap the integer folds (Spark)
-    or error mid-query (DuckDB) instead of producing garbage."""
+    """The LAZY in-plan exactness assert (|component| <= sqrt(2^61/dim)
+    on quantized vectors and centroid sums) must refuse inputs whose
+    actual values risk int64 wrap — at action time, loudly — while
+    plan construction stays lazy and safe inputs pass untouched."""
     import pytest
 
     from eynollah_spark.operators.similarity import kmeans_lloyd
 
-    rows = [(i, [1000.0] * 64) for i in range(50)]
+    rows = [(i, [1.0e6] * 64) for i in range(10)]
     e = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    with pytest.raises(ValueError, match="exactness bound"):
-        kmeans_lloyd(e, k=2, iters=1, scale=1 << 20)
-    # the default scale keeps the same corpus inside the bound
-    assert kmeans_lloyd(e, k=2, iters=1).count() == 50
+    plan = kmeans_lloyd(e, k=2, iters=1, scale=1 << 20)  # lazy: no error yet
+    with pytest.raises(Exception, match="exactness bound"):
+        plan.count()
+    # the default scale keeps a realistic (unit-ish) corpus inside the
+    # bound even when one cluster absorbs every vector
+    sane = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(50)], ["vec_id", "embedding"]
+    )
+    assert kmeans_lloyd(sane, k=2, iters=1).count() == 50
