@@ -219,3 +219,56 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
     assert by_type.get("tool", 0) >= 1  # fence interior
     # banner-only page emitted nothing
     assert not any(r[0] == "doc6" for r in srows)
+
+
+def test_simple_oracle_family_randomized_corpus(spark, tmp_path):
+    """Fuzz-ish parity for the whole simple-mode oracle family: 120
+    seeded random docs built from a vocabulary that includes every
+    special token reachable through the 8-token wrap (banners, fence
+    markers, footers, pipes, model-B headers, marginalia, separators,
+    dropcaps as final tokens), pushed through Spark AND DuckDB in one
+    batch per query."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = (
+        ["word", "alpha", "beta", "§NOTE:", "§ABC:", "##", "|a|", "|b|c|",
+         "```py", "```", "[note:", "x]", "===", "(c)", "Legal:", "§§§",
+         "—–", "…x", "w" * 30]
+    )
+    finals = ["A", "---", "======", "## x", "(c) 2025"]  # short-final shapes
+    rng = np.random.RandomState(1234)
+    docs = []
+    for i in range(120):
+        n = int(rng.randint(1, 40))
+        toks = [vocab[j] for j in rng.randint(0, len(vocab), n)]
+        if rng.rand() < 0.4:  # doc-final short line
+            f = finals[int(rng.randint(0, len(finals)))].split(" ")
+            # align so the final tokens form their own (short) line
+            pad = (-(len(toks) + len(f))) % 8
+            toks += ["pad"] * ((8 - len(f) - (len(toks) % 8)) % 8) + f
+        docs.append((i, " ".join(toks)))
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    for qname in (
+        "extract_spans_simple",
+        "extract_spans_tables_simple",
+        "extract_spans_nofull_simple",
+        "page_diags_simple",
+    ):
+        sdf = entrymod.queries()[qname](spark, str(tmp_path))
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.sql(entrymod.oracle_sql()[qname])
+        dcols = res.columns
+        drows = res.fetchall()
+        sn = _normalize(srows, scols)
+        dn = _normalize(drows, dcols)
+        assert len(sn) == len(dn), f"{qname}: {len(sn)} vs {len(dn)}"
+        mism = [(a, b) for a, b in zip(sn, dn) if a != b]
+        assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
+    con.close()
