@@ -241,6 +241,48 @@ def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "merge", "window", "hash")
+BM25_TOPK = 25
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: map-side tf (no explode/shuffle), 1-row
+    corpus-stats agg broadcast back, TakeOrderedAndProject top-k."""
+    from eynollah_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_TOPK)
+
+
+# deterministic mixing rates for the stratified-sample query
+SAMPLE_RATES = {"en": 0.5, "zh": 0.3, "de": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+QUOTA_PER_SOURCE = 10
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixing sample — pure map-side filter
+    keyed on md5(doc_id), identical on any cluster layout."""
+    from eynollah_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        SAMPLE_RATES,
+        stratum_col="lang",
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+
+
+def _q_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (two-phase salted top-N per source)."""
+    from eynollah_spark.operators.sampling import per_group_quota
+
+    return per_group_quota(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        quota=QUOTA_PER_SOURCE,
+        group_col="source",
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.text_analysis import pii_scrub
 
@@ -696,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": _q_length_percentiles,
         "pack_documents": _q_pack_documents,
         "repetition_stats": _q_repetition_stats,
+        "bm25_topk": _q_bm25_topk,
+        "stratified_sample": _q_stratified_sample,
+        "per_source_quota": _q_per_source_quota,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "curation_survivors": _q_curation_survivors,
@@ -1243,6 +1288,64 @@ WHERE length(token) > 0
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT {TOP_TOKENS_K}
+"""
+
+    from eynollah_spark.operators.search import BM25_B, BM25_K1
+
+    _tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    _df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    _score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({BM25_K1} + 1.0))"
+        f" / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    sql["bm25_topk"] = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS DOUBLE) AS dl,
+         {_tf_cols}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {_df_cols}
+  FROM tf
+)
+SELECT doc_id, score, n_tokens FROM (
+  SELECT doc_id, round({_score}, 6) AS score, CAST(dl AS BIGINT) AS n_tokens
+  FROM tf CROSS JOIN stats)
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+    _rate_case = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
+        for k, v in sorted(SAMPLE_RATES.items())
+    )
+    sql["stratified_sample"] = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_h64sql("CAST(doc_id AS VARCHAR)")} % 1000000 <
+      CASE lang {_rate_case}
+           ELSE {int(round(SAMPLE_DEFAULT_RATE * 1_000_000))} END
+"""
+
+    sql["per_source_quota"] = f"""
+SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= {QUOTA_PER_SOURCE}
 """
 
     sql["contamination_check"] = f"""

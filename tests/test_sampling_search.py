@@ -1,0 +1,183 @@
+"""Unit + plan-shape tests for the sampling/quota/BM25 operators."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_layout_independent(spark):
+    """The keep-set must be a pure function of doc_id — identical under
+    different partitionings (the property df.sample() does NOT have)."""
+    from eynollah_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    rates = {"en": 0.5, "de": 0.25}
+    a = stratified_sample(docs.repartition(1), rates, default_rate=0.1)
+    b = stratified_sample(docs.repartition(7, "source"), rates, default_rate=0.1)
+    ka = sorted(r.doc_id for r in a.collect())
+    kb = sorted(r.doc_id for r in b.collect())
+    assert ka == kb
+    assert 0 < len(ka) < docs.count()
+
+
+def test_stratified_sample_respects_strata(spark):
+    """rate=0 strata vanish; rate=1 strata are kept in full."""
+    from eynollah_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = stratified_sample(docs, {"en": 1.0}, default_rate=0.0).collect()
+    n_en = docs.filter("lang = 'en'").count()
+    assert len(out) == n_en
+    assert all(r.lang == "en" for r in out)
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Map-side filter: zero exchanges in the plan."""
+    from eynollah_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"en": 0.5}, default_rate=0.1))
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# per_group_quota
+# ---------------------------------------------------------------------------
+
+
+def test_per_group_quota_matches_single_phase(spark):
+    """The salted two-phase top-N must equal the plain one-window
+    row_number result for every salt count (superset property)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from eynollah_spark.operators.sampling import per_group_quota
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    expect = sorted(
+        (r.source, r.doc_id, r.n_chars, r.rank)
+        for r in docs.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .collect()
+    )
+    for salts in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in per_group_quota(docs, quota=5, salts=salts).collect()
+        )
+        assert got == expect, salts
+
+
+def test_per_group_quota_bounds_hot_group(spark):
+    """A single dominant group still splits across salts in phase 1:
+    the first window partitions by (group, salt), not group alone."""
+    from eynollah_spark.operators.sampling import per_group_quota
+
+    # one hot group (every source collapses to 'src'), non-foldable so
+    # the window partitioning survives constant folding
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "substr(source, 1, 3) as source", "n_chars"
+    )
+    out = per_group_quota(docs, quota=4, salts=8)
+    plan = _plan(out)
+    assert re.search(r"hashpartitioning\(source#\d+, _salt#\d+", plan), plan
+    # Spark 4 additionally pushes a map-side partial top-N (WindowGroupLimit)
+    # below each exchange — assert it stays
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    rows = out.collect()
+    assert len(rows) == 4
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(rows, terms, k1=1.2, b=0.75):
+    """Driver-side BM25 on a list of (doc_id, text) — independent
+    formulation (dict counting) of the same public formula."""
+    toks = {d: t.lower().split() for d, t in rows}
+    dls = {d: (len(t.split()) if t.strip() else 0) for d, t in rows}
+    n = len(rows)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for t in terms:
+        df = sum(1 for tk in toks.values() if t in tk)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, tk in toks.items():
+            tf = tk.count(t)
+            if tf:
+                dl = dls[d]
+                scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    return {d: round(s, 6) for d, s in scores.items() if round(s, 6) > 0}
+
+
+def test_bm25_matches_reference_formula(spark, tmp_path):
+    from eynollah_spark.operators.search import bm25_topk
+
+    rows = [
+        (0, "spark shuffle join spark spark"),
+        (1, "window merge sort"),
+        (2, "the quick brown fox"),
+        (3, "spark window window merge spark"),
+        (4, ""),
+        (5, "hash hash hash hash hash hash hash hash"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    terms = ("spark", "merge", "hash")
+    got = {r.doc_id: r.score for r in bm25_topk(docs, terms, k=10).collect()}
+    assert got == _bm25_reference(rows, terms)
+
+
+def test_bm25_topk_order_and_limit(spark):
+    from eynollah_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bm25_topk(docs, ("spark", "merge"), k=7).collect()
+    assert len(out) == 7
+    keys = [(-r.score, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_bm25_plan_no_token_shuffle(spark):
+    """The scale contract: no explode/groupBy(doc, token) shuffle — the
+    only exchanges are the 1-row stats agg; top-k compiles to
+    TakeOrderedAndProject, stats come back via a broadcast join."""
+    from eynollah_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ("spark", "merge"), k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
