@@ -602,24 +602,13 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 nz_ = reg_first > 0
                 prev[nz_] = csum[reg_first[nz_] - 1]
                 prof_all = last - prev
-                # batched candidate filter: a qualifying gutter run is
-                # >= 2 wide, all positions <= stray, containing a zero
-                # — which exists IFF some zero column has a <= stray
-                # neighbor (exact equivalence, both directions). Blocks
-                # without such a pair (isolated blank columns between
-                # words are the common case) skip the per-block valley
-                # machinery entirely.
-                inw = np.arange(WCAP, dtype=np.int64)[None, :] < wb[sel][:, None]
-                z = (prof_all == 0) & inw
-                low = (prof_all <= cfg.gutter_max_stray_lines) & inw
-                has_zero = (
-                    (z[:, :-1] & low[:, 1:]) | (z[:, 1:] & low[:, :-1])
-                ).any(axis=1)
+                # batched valley machinery: quick reject, run
+                # extraction, smoothing and prominence all run as grid
+                # ops over the whole chunk (bit-identical per row to
+                # the scalar _select_gutters — A/B-fuzzed)
+                gl = _select_gutters_batch(prof_all, wb[sel], cfg)
                 for jj, j in enumerate(take):
-                    if has_zero[jj]:
-                        g = _select_gutters(prof_all[jj, : int(wb[j])], cfg)
-                    else:
-                        g = []
+                    g = gl[jj]
                     gutter_cache[int(st_e[j])] = (None, None, g)
                     if g:
                         complex_page[r_page[eligible[j]]] = True
@@ -751,16 +740,36 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
         out.insert(1, "turn_idx", pdf["turn_idx"].to_numpy())
         return out
 
-    out = pd.DataFrame(
-        span_rows, columns=["_t"] + SPAN_COLUMNS
-    )
-    if len(out):
-        out.insert(0, "conv_id", pdf["conv_id"].to_numpy()[out["_t"].to_numpy()])
-        out.insert(1, "turn_idx", pdf["turn_idx"].to_numpy()[out["_t"].to_numpy()])
+    # columnar construction: zip-transpose + typed arrays skips
+    # pandas' slow mixed-type row conversion path
+    if span_rows:
+        tt, sidx, rtyp, rseq, cs, ce, txt = zip(*span_rows)
+        ti = np.asarray(tt, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy()[ti],
+                "turn_idx": pdf["turn_idx"].to_numpy()[ti],
+                "span_idx": np.asarray(sidx, dtype=np.int64),
+                "region_type": np.asarray(rtyp, dtype=object),
+                "region_seq": np.asarray(rseq, dtype=np.int64),
+                "char_start": np.asarray(cs, dtype=np.int64),
+                "char_end": np.asarray(ce, dtype=np.int64),
+                "text": np.asarray(txt, dtype=object),
+            }
+        )
     else:
-        out.insert(0, "conv_id", pd.Series([], dtype="object"))
-        out.insert(1, "turn_idx", pd.Series([], dtype="int64"))
-    out = out.drop(columns=["_t"])
+        out = pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int64"),
+                "span_idx": pd.Series([], dtype="int64"),
+                "region_type": pd.Series([], dtype="object"),
+                "region_seq": pd.Series([], dtype="int64"),
+                "char_start": pd.Series([], dtype="int64"),
+                "char_end": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="object"),
+            }
+        )
     if fast_df is not None and len(fast_df):
         out = pd.concat([fast_df, out], ignore_index=True) if len(out) else fast_df
     return out
@@ -1430,6 +1439,120 @@ def _select_gutters(profile: np.ndarray, cfg: ExtractConfig):
     return [(a, b) for _, a, b in kept]
 
 
+def _select_gutters_batch(prof_grid: np.ndarray, widths, cfg: ExtractConfig):
+    """Batched `_select_gutters` over a (m, W) int64 profile grid whose
+    rows are zero-padded past each block's true width. Returns one
+    gutter list per row, bit-identical to
+    ``_select_gutters(prof_grid[r, :widths[r]], cfg)`` — the A/B fuzz
+    in tests/test_kernel_oracle.py asserts this. All stages (run
+    extraction, gaussian smoothing, depth/prominence) run as grid ops;
+    only the final W6 per-row suppression walks survivors in Python."""
+    m, W = prof_grid.shape
+    out: list[list] = [[] for _ in range(m)]
+    if m == 0 or W < 2:
+        return out
+    stray = cfg.gutter_max_stray_lines
+    wds = np.asarray(widths, dtype=np.int64)
+    colx = np.arange(W, dtype=np.int64)[None, :]
+    inw = colx < wds[:, None]
+    z = (prof_grid == 0) & inw
+    low = (prof_grid <= stray) & inw
+    # quick reject (scalar parity): a qualifying run exists only if
+    # some zero column has a <= stray neighbor
+    cand = ((z[:, :-1] & low[:, 1:]) | (z[:, 1:] & low[:, :-1])).any(axis=1)
+    rows = np.flatnonzero(cand)
+    if not len(rows):
+        return out
+    # maximal low-runs per row: pad one False column per row so runs
+    # never span row boundaries in the flattened view
+    lowp = np.zeros((len(rows), W + 1), dtype=bool)
+    lowp[:, :W] = low[rows]
+    flat = lowp.reshape(-1)
+    d = np.diff(flat.astype(np.int8))
+    rstart = np.flatnonzero(d == 1) + 1
+    if flat[0]:
+        rstart = np.concatenate([np.zeros(1, np.int64), rstart])
+    rend = np.flatnonzero(d == -1)  # inclusive run ends (pad col closes all)
+    blk = rstart // (W + 1)
+    a = rstart - blk * (W + 1)
+    b = rend - blk * (W + 1)
+    # scalar filters: width >= 2, contains a zero, center within frac
+    # bounds of the block's true width (float compare, as scalar)
+    keep = (b - a) >= 1
+    zc = np.cumsum(z[rows], axis=1)
+    zin = zc[blk, b] - np.where(a > 0, zc[blk, np.maximum(a - 1, 0)], 0)
+    keep &= zin > 0
+    mid = (a + b) // 2
+    wr = wds[rows]
+    keep &= (mid >= cfg.gutter_min_frac * wr[blk]) & (
+        mid <= cfg.gutter_max_frac * wr[blk]
+    )
+    if not keep.any():
+        return out
+    blk = blk[keep]
+    a = a[keep]
+    b = b[keep]
+    srows = np.unique(blk)  # indices into `rows` that still need smoothing
+    rix = np.searchsorted(srows, blk)
+    # batched integer gaussian smoothing: beyond-width entries are zero
+    # by construction, so convolving the padded row equals the scalar
+    # zero-padded convolution on [0, w)
+    r, wts = _gauss_weights(cfg.gutter_sigma)
+    P = prof_grid[rows[srows]]
+    sm = wts[r] * P
+    for k in range(1, r + 1):
+        if k < W:
+            sm[:, : W - k] += wts[r + k] * P[:, k:]
+            sm[:, k:] += wts[r - k] * P[:, : W - k]
+    sm_in = np.where(colx < wds[rows[srows], None], sm, 0)
+    max_s = sm_in.max(axis=1)
+    fmax = np.maximum.accumulate(sm_in, axis=1)
+    bmax = np.maximum.accumulate(sm_in[:, ::-1], axis=1)[:, ::-1]
+    # per-run depth via 1-D reduceat over the flattened smoothed grid
+    # (sentinel keeps end == len legal); runs are disjoint and sorted
+    sm_flat = np.concatenate([sm_in.reshape(-1), np.zeros(1, np.int64)])
+    inter = np.empty(2 * len(a), dtype=np.int64)
+    inter[0::2] = rix * W + a
+    inter[1::2] = rix * W + b + 1
+    depth = np.minimum.reduceat(sm_flat, inter)[0::2]
+    left = np.where(a > 0, fmax[rix, np.maximum(a - 1, 0)], 0)
+    right = np.where(b + 1 < W, bmax[rix, np.minimum(b + 1, W - 1)], 0)
+    ms = max_s[rix]
+    rel_pct = int(round(cfg.gutter_rel_depth * 100))
+    peak_pct = int(round(cfg.gutter_peak_frac * 100))
+    ok = (
+        (ms > 0)
+        & (depth * 100 <= rel_pct * ms)
+        & (np.minimum(left, right) * 100 >= peak_pct * ms)
+    )
+    if not ok.any():
+        return out
+    # W6 suppression per row: deepest max_columns-1, positional order
+    sel = np.flatnonzero(ok)
+    order = np.lexsort((b[sel], a[sel], depth[sel], blk[sel]))
+    sel = sel[order]
+    kmax = cfg.max_columns - 1
+    cur = -1
+    taken = 0
+    buf: list = []
+    for i in sel:
+        rblk = int(blk[i])
+        if rblk != cur:
+            if buf:
+                buf.sort()
+                out[int(rows[cur])] = buf
+            cur = rblk
+            taken = 0
+            buf = []
+        if taken < kmax:
+            buf.append((int(a[i]), int(b[i])))
+            taken += 1
+    if buf:
+        buf.sort()
+        out[int(rows[cur])] = buf
+    return out
+
+
 def _ls_slope_int(leads) -> tuple[int, int]:
     """Least-squares slope of leading indent vs line index as an exact
     integer fraction (numerator A, denominator B): slope = A/B.
@@ -1463,6 +1586,7 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
     lens_i = [int(lens[k]) for k in range(n)]
     lens_a = np.asarray(lens_i, dtype=np.int64)
+    ks = np.arange(n, dtype=np.float64)
     # flatten the block's ink cells ONCE (row, col of every inked
     # position, masked by each line's true length — rows may be padded
     # when they come from a fixed-width grid); each candidate's
@@ -1486,33 +1610,37 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     # candidates with identical shift vectors score identically, so
     # build each distinct shift vector's profile once (short blocks
     # collapse most of the grid)
-    seen: dict[tuple, tuple] = {}
+    seen: dict[bytes, tuple] = {}
     best = None  # (score, wp, s, shifts, profile)
     for s in cands:
-        raw_sh = [round(s * k) for k in range(n)]
-        m = min(raw_sh)
-        sh = tuple(int(v - m) for v in raw_sh)
-        got = seen.get(sh)
+        # np.rint == Python round on doubles (both half-to-even), so
+        # the shift vector is bit-identical to the scalar loop
+        raw_sh = np.rint(s * ks).astype(np.int64)
+        sh = raw_sh - raw_sh.min()
+        key = sh.tobytes()
+        got = seen.get(key)
         if got is None:
-            wp = max(lens_i[k] - sh[k] for k in range(n))
+            wp = int((lens_a - sh).max())
             if wp <= 0:
-                seen[sh] = (None, None, None)
+                seen[key] = (None, None, None, None)
                 continue
-            idx = cols_nz - np.asarray(sh, dtype=np.int64)[rows_nz]
-            prof = np.bincount(idx[idx >= 0], minlength=wp).astype(np.int64)
+            idx = cols_nz - sh[rows_nz]
+            prof = np.bincount(idx[idx >= 0], minlength=wp).astype(
+                np.int64, copy=False
+            )
             sv = int(prof.sum())
-            sv2 = int((prof * prof).sum())
+            sv2 = int(np.dot(prof, prof))
             score = wp * sv2 - sv * sv  # population variance * wp^2
-            got = (score, wp, prof)
-            seen[sh] = got
-        score, wp, prof = got
+            got = (score, wp, prof, sh)
+            seen[key] = got
+        score, wp, prof, sh = got
         if score is None:
             continue
         if best is None or score * best[1] * best[1] > best[0] * wp * wp:
-            best = (score, wp, s, list(sh), prof)
+            best = (score, wp, s, sh, prof)
     if best is None or abs(best[2]) < cfg.slope_threshold:
         return None
-    return best[2], best[3], best[4]
+    return best[2], best[3].tolist(), best[4]
 
 
 def _ink_row(s: str) -> np.ndarray:

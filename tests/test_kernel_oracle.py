@@ -708,3 +708,43 @@ def test_fuzz_diag_agreement_all_modes(text, role):
     assert e["max_columns"] == g["max_columns"]
     assert abs(e["slope"] - g["slope"]) < 1e-12
     assert e["used_binarized"] == bool(g["used_binarized"])
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_select_gutters_batch_matches_scalar(seed):
+    """A/B fuzz: the grid-vectorized valley machinery must be
+    bit-identical per row to the scalar _select_gutters on randomized
+    zero-padded profile grids (incl. all-zero rows, stray columns,
+    degenerate widths 0/1, and flat-low plateaus)."""
+    import numpy as np
+
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import (
+        _select_gutters,
+        _select_gutters_batch,
+    )
+
+    rng = np.random.default_rng(seed)
+    for cfg in (
+        ExtractConfig(),
+        ExtractConfig(gutter_max_stray_lines=0, max_columns=2),
+        ExtractConfig(gutter_rel_depth=0.5, gutter_peak_frac=0.2, gutter_sigma=2.0),
+    ):
+        for _ in range(40):
+            m = int(rng.integers(1, 24))
+            W = int(rng.integers(2, 96))
+            widths = rng.integers(0, W + 1, size=m)
+            grid = np.zeros((m, W), dtype=np.int64)
+            for r in range(m):
+                w = int(widths[r])
+                if w == 0:
+                    continue
+                # spiky profile with interleaved low/zero valleys
+                row = rng.integers(0, 12, size=w)
+                nz = rng.random(w) < 0.35
+                row[nz] = 0
+                grid[r, :w] = row
+            got = _select_gutters_batch(grid, widths, cfg)
+            for r in range(m):
+                want = _select_gutters(grid[r, : int(widths[r])], cfg)
+                assert got[r] == want, (r, int(widths[r]), grid[r].tolist())
