@@ -300,6 +300,42 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.md5("text").alias("text_hash"))
 
 
+PARA_MIN_LEN = 20
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.dedup import paragraph_dedup
+
+    # documents are single-line, so paragraph granularity comes from
+    # the derived transcript corpus (token-wrapped lines, 4-line
+    # turns): each turn is a doc, each line a paragraph — wrapped
+    # lines repeat heavily across documents, so the gate bites
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    turns = (
+        lines.withColumn("t", (F.col("line_idx") / LINES_PER_TURN).cast("int"))
+        .groupBy("doc_id", "t")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("t")).cast("bigint").alias("doc_id"),
+            "text",
+        )
+    )
+    out = paragraph_dedup(turns, min_len=PARA_MIN_LEN, sep="\n")
+    # hash the rebuilt text: the driver compare is value-based and the
+    # reassembled documents can be large
+    return out.select(
+        "doc_id", F.md5("text").alias("text_hash"), "n_paras", "n_dropped"
+    )
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir),
@@ -743,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_quota": _q_per_source_quota,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "paragraph_dedup": _q_paragraph_dedup,
         "curation_survivors": _q_curation_survivors,
         "curation_full": _q_curation_full,
         "jaccard_pairs": _q_jaccard,
@@ -1426,6 +1463,46 @@ SELECT doc_id, text_hash FROM (
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)
 WHERE rn = 1
+"""
+
+    # CCNet-style cross-document paragraph dedup: split on blank
+    # lines, drop occurrences whose (>= min_len chars) paragraph first
+    # appeared in a lower doc_id, reassemble survivors in order.
+    # `dropped` is built from IS NOT NULL + <> so it is never NULL
+    # (SQL three-valued logic would otherwise leak dropped=NULL rows
+    # through the NOT filter).
+    sql["paragraph_dedup"] = f"""
+WITH {_LINES_CTE},
+turns AS (
+  SELECT doc_id * 1000 + line_idx // {LINES_PER_TURN} AS doc_id,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM lines GROUP BY doc_id, line_idx // {LINES_PER_TURN}
+),
+paras AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM turns)
+), hashed AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(para) >= {PARA_MIN_LEN} THEN md5(para) END AS ph
+  FROM paras
+), stats AS (
+  SELECT ph, min(doc_id) AS first_doc
+  FROM hashed WHERE ph IS NOT NULL GROUP BY ph
+), flagged AS (
+  SELECT h.doc_id, h.pos, h.para,
+         (s.first_doc IS NOT NULL AND h.doc_id <> s.first_doc) AS dropped
+  FROM hashed h LEFT JOIN stats s USING (ph)
+)
+SELECT doc_id,
+       md5(coalesce(
+         array_to_string(list(para ORDER BY pos) FILTER (WHERE NOT dropped),
+                         chr(10)),
+         '')) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY doc_id
 """
 
 

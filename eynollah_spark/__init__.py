@@ -34,6 +34,7 @@ from eynollah_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     near_dup_clusters,
+    paragraph_dedup,
 )
 from eynollah_spark.operators.text_analysis import (
     contamination_check,
@@ -54,6 +55,7 @@ __all__ = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "near_dup_clusters",
+    "paragraph_dedup",
     "contamination_check",
     "pack_documents",
     "pii_scrub",

@@ -24,6 +24,8 @@ __spark_entry__.py reproduces them with the same md5 arithmetic.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -485,3 +487,75 @@ def minhash_signature_col(text_col, k: int = 3, num_hashes: int = 16):
         )
 
     return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+# ---------------------------------------------------------------------------
+# 7. paragraph-level dedup (CCNet-style cross-document paragraph removal)
+# ---------------------------------------------------------------------------
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 20,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document paragraph dedup (the CCNet / RefinedWeb curation
+    step): split each document on ``sep`` (blank lines by default), drop every paragraph
+    occurrence that also appears in a LOWER doc_id's document
+    (keep-first, mirroring dedup_exact's T2 rule at paragraph
+    granularity), and reassemble the survivors in original order.
+    Paragraphs shorter than ``min_len`` characters are never dropped
+    (boilerplate-short strings like list bullets would otherwise fuse
+    unrelated documents).
+
+    Returns (doc_id, text, n_paras, n_dropped) with ``text`` rebuilt
+    from the kept paragraphs joined by blank lines.
+
+    Scale posture: posexplode is narrow; the paragraph-frequency
+    aggregate and the stats join share the md5-hash key (one shuffle
+    each, AQE handles hot-paragraph skew); reassembly is one
+    groupBy(doc_id). No driver collection, no unbounded broadcast.
+    """
+    paras = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
+    ).withColumn(
+        # NULL hash for short paragraphs: they fall out of the stats
+        # aggregate AND never match the equi join below
+        "ph",
+        F.when(F.length("para") >= min_len, F.md5("para")),
+    )
+    stats = (
+        paras.filter(F.col("ph").isNotNull())
+        .groupBy("ph")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    flagged = paras.join(stats, "ph", "left").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            F.col("first_doc").isNotNull()
+            & (F.col("doc_id") != F.col("first_doc"))
+        ).alias("dropped"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("dropped"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+        )
+    )

@@ -196,3 +196,36 @@ def test_rowwise_signature_matches_batch(docs):
     batch = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
     assert batch  # non-degenerate
     assert all(rowwise[d] == batch[d] for d in batch)
+
+
+def test_paragraph_dedup_keep_first_and_min_len(spark):
+    from eynollah_spark.operators.dedup import paragraph_dedup
+
+    shared = "this paragraph is shared across both documents"
+    short = "tiny"  # below min_len: duplicated but never dropped
+    rows = [
+        (1, f"{shared}\n\nunique to doc one\n\n{short}"),
+        (2, f"intro of doc two\n\n{shared}\n\n{short}"),
+        (3, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, min_len=20).collect()}
+    # doc 1 is the first owner: keeps everything
+    assert out[1].text == f"{shared}\n\nunique to doc one\n\n{short}"
+    assert out[1].n_dropped == 0 and out[1].n_paras == 3
+    # doc 2 loses only the shared paragraph; order of the rest is kept
+    assert out[2].text == f"intro of doc two\n\n{short}"
+    assert out[2].n_dropped == 1 and out[2].n_paras == 3
+    # doc 3 becomes empty (its only paragraph is owned by doc 1)
+    assert out[3].text == "" and out[3].n_dropped == 1
+
+
+def test_paragraph_dedup_custom_sep(spark):
+    from eynollah_spark.operators.dedup import paragraph_dedup
+
+    rows = [(1, "alpha beta gamma delta line|second line repeated here"),
+            (2, "second line repeated here|alpha beta gamma delta line")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, min_len=20, sep="|").collect()}
+    assert out[1].n_dropped == 0
+    assert out[2].n_dropped == 2 and out[2].text == ""
