@@ -422,6 +422,37 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = 1 << 12
 
 
+SEMDEDUP_T = 0.95
+SEMDEDUP_PLANT_N = 20
+SEMDEDUP_PLANT_OFFSET = 100_000
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table augmented with deterministic
+    planted copies (vec_id + offset for the lowest ids) — the raw
+    table has no near-duplicate pairs (max within-cluster cosine
+    ~0.48), so exact copies make the keep/drop gate bite while
+    staying derivable from driver testdata alone."""
+    from eynollah_spark.operators.similarity import semdedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    aug = e.union(
+        e.filter(F.col("vec_id") < SEMDEDUP_PLANT_N).select(
+            (F.col("vec_id") + SEMDEDUP_PLANT_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return semdedup(
+        aug,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_T,
+        scale=KMEANS_SCALE,
+    )
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embeddings table (the IVF
     coarse-quantizer training step) — exact integer-quantized
@@ -794,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_embeddings": _q_kmeans,
+        "semdedup": _q_semdedup,
         # S2 metadata probe (check_dpi analog)
         "probe_metadata": _q_probe_metadata,
         # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
@@ -2003,6 +2035,55 @@ SELECT vec_id, centroid_id,
        CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_size,
        round(cos, 6) AS cosine
 FROM a2
+"""
+
+    # semdedup: the kmeans chain over the copy-augmented corpus, then
+    # within-cluster pairwise cosine with the keep-lowest-id rule.
+    # Pair cosines reuse the exact int64 quantized folds.
+    _pcos = (
+        "coalesce(CAST(list_sum(list_transform(range({d}), j -> a.v[j+1] * b.v[j+1])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(range({d}), j -> a.v[j+1] * a.v[j+1])) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(range({d}), j -> b.v[j+1] * b.v[j+1])) AS DOUBLE))), -2.0)"
+    ).format(d=EMB_DIM)
+    sql["semdedup"] = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {SEMDEDUP_PLANT_N}
+),
+ei AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS v
+  FROM aug
+),
+ranked AS (
+  SELECT vec_id, v,
+         CAST(('0x' || substring(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM ei
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS centroid_id,
+         v AS cvec
+  FROM (SELECT * FROM ranked ORDER BY h, vec_id LIMIT {KMEANS_K})
+),
+a0 AS ({_k_assign('c0')}),
+c1 AS ({_k_sums('a0')}),
+a1 AS ({_k_assign('c1')}),
+c2 AS ({_k_sums('a1')}),
+a2 AS ({_k_assign('c2')}),
+pairs AS (
+  SELECT b.vec_id AS vec_id, round({_pcos}, 6) AS pc
+  FROM a2 a JOIN a2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+dropped AS (SELECT DISTINCT vec_id FROM pairs WHERE pc >= {SEMDEDUP_T})
+SELECT a2.vec_id, a2.centroid_id,
+       CAST(count(*) OVER (PARTITION BY a2.centroid_id) AS BIGINT) AS cluster_size,
+       (d.vec_id IS NULL) AS kept
+FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
 """
 
     sql["probe_metadata"] = f"""

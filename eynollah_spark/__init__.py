@@ -43,7 +43,7 @@ from eynollah_spark.operators.text_analysis import (
     quality_features,
     repetition_stats,
 )
-from eynollah_spark.operators.similarity import brute_force_topk, kmeans_lloyd
+from eynollah_spark.operators.similarity import brute_force_topk, kmeans_lloyd, semdedup
 
 __all__ = [
     "ExtractConfig",
@@ -63,5 +63,6 @@ __all__ = [
     "repetition_stats",
     "brute_force_topk",
     "kmeans_lloyd",
+    "semdedup",
 ]
 __version__ = "0.1.0"

@@ -476,3 +476,63 @@ def kmeans_lloyd(
         F.count(F.lit(1)).over(wsz).alias("cluster_size"),
         F.round(F.col("cos"), 6).alias("cosine"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) expressed
+    Spark-first: cluster the embeddings with the deterministic integer
+    Lloyd trainer (``kmeans_lloyd``), then within each cluster drop
+    every vector that has a ``>= threshold`` cosine neighbor with a
+    LOWER id (keep-first, the same greedy representative rule the
+    paper applies inside each cluster's epsilon-ball).
+
+    Pairwise scoring is confined to clusters, so the quadratic term is
+    bounded by the largest cluster — ``k`` is the scale knob (SemDeDup
+    runs ~10^5 clusters at web scale, keeping clusters ~corpus/k).
+    The self-join keys on centroid_id; AQE splits a skewed giant
+    cluster's join. Cosines reuse the exact int64 quantized folds, so
+    the DuckDB oracle reproduces every comparison bit-identically.
+
+    Returns (vec_id, centroid_id, cluster_size, kept).
+    """
+    assigned = kmeans_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    qv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+        ).alias("v"),
+    )
+    av = assigned.select("vec_id", "centroid_id").join(qv, "vec_id")
+    dropped = (
+        av.alias("a")
+        .join(
+            av.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(_int_cosine(F.col("a.v"), F.col("b.v")), 6).alias("pc"),
+        )
+        .filter(F.col("pc") >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        "cluster_size",
+        F.col("_dropped").isNull().alias("kept"),
+    )

@@ -150,3 +150,30 @@ def test_kmeans_exactness_guard_raises(spark):
         [(i, [1.0] * 64) for i in range(50)], ["vec_id", "embedding"]
     )
     assert kmeans_lloyd(sane, k=2, iters=1).count() == 50
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    """Planted near-identical vectors inside one tight cluster: the
+    lowest id survives, every >= threshold neighbor of a lower id is
+    dropped, and cross-cluster vectors are untouched."""
+    import numpy as np
+
+    from eynollah_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = []
+    base = np.concatenate([[10.0], rng.rand(7) * 0.05])
+    for i in range(3):  # ids 0,1,2: near-identical (cosine ~1)
+        rows.append((i, (base + rng.rand(8) * 1e-4).tolist()))
+    for i in range(3, 10):  # distinct dominant axes 1..7 (0 is the
+        v = rng.rand(8) * 0.1  # dup group's axis)
+        v[(i - 3) % 7 + 1] = 10.0
+        rows.append((i, v.tolist()))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in semdedup(e, k=3, iters=2, threshold=0.98).collect()}
+    assert len(got) == 10
+    assert got[0].kept  # lowest id of the dup group survives
+    assert not got[1].kept and not got[2].kept
+    assert all(got[i].kept for i in range(3, 10))
+    # dup group members share a cluster
+    assert got[0].centroid_id == got[1].centroid_id == got[2].centroid_id
