@@ -562,17 +562,19 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 )
                 skewed[j] = B > 0 and abs(A) >= cfg.slope_threshold * B
 
-            # batched profiles: all straight, narrow blocks share ONE
-            # UTF-32 grid + reduceat per chunk instead of per-block
-            # numpy dispatch
+            # batched profiles: ALL narrow blocks (straight and
+            # skewed) share ONE UTF-32 grid per chunk instead of
+            # per-block numpy dispatch; straight blocks run the
+            # grid-vectorized valley machinery, skewed blocks feed
+            # their chunk ink rows straight into the shear grid
             WCAP = 192
-            batched = np.flatnonzero(~skewed & (wb > 0) & (wb <= WCAP))
+            gridable = np.flatnonzero((wb > 0) & (wb <= WCAP))
             pos = 0
-            while pos < len(batched):
+            while pos < len(gridable):
                 take = []
                 tot = 0
-                while pos < len(batched) and tot < 16384:
-                    j = int(batched[pos])
+                while pos < len(gridable) and tot < 16384:
+                    j = int(gridable[pos])
                     take.append(j)
                     tot += int(cn_e[j])
                     pos += 1
@@ -596,6 +598,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 # per-block column sums via cumsum + row gather (much
                 # faster than axis-0 reduceat); F-order makes the
                 # axis-0 accumulation walk contiguous memory
+                nsk = ~skewed[sel]
                 csum = np.cumsum(np.asfortranarray(ink), axis=0, dtype=np.int32)
                 last = csum[reg_first + cn_s - 1].astype(np.int64)
                 prev = np.zeros_like(last)
@@ -606,16 +609,43 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 # extraction, smoothing and prominence all run as grid
                 # ops over the whole chunk (bit-identical per row to
                 # the scalar _select_gutters — A/B-fuzzed)
-                gl = _select_gutters_batch(prof_all, wb[sel], cfg)
+                gl = _select_gutters_batch(prof_all[nsk], wb[sel][nsk], cfg)
+                gi = 0
                 for jj, j in enumerate(take):
-                    g = gl[jj]
-                    gutter_cache[int(st_e[j])] = (None, None, g)
+                    if not skewed[j]:
+                        g = gl[gi]
+                        gi += 1
+                        gutter_cache[int(st_e[j])] = (None, None, g)
+                    else:
+                        # shear over this block's chunk ink rows (a
+                        # view; WCAP padding is already masked False,
+                        # so the cells equal the per-block grid's)
+                        rf = int(reg_first[jj])
+                        n_ = int(cn_s[jj])
+                        st = int(st_e[j])
+                        shifts = None
+                        sh_prof = None
+                        res = _choose_shear(
+                            ink[rf : rf + n_],
+                            lens_li[rf : rf + n_],
+                            lstr_len[st : st + n_],
+                            cfg,
+                        )
+                        if res is not None:
+                            _s_star, shifts, sh_prof = res
+                        if shifts is not None:
+                            g = _select_gutters(sh_prof, cfg)
+                        else:
+                            g = _find_gutters(
+                                lines_np, raw_len, range(st, st + n_), cfg
+                            )
+                        gutter_cache[st] = (shifts, sh_prof, g)
                     if g:
                         complex_page[r_page[eligible[j]]] = True
 
-            # skewed or wide blocks: per-block path (shear grid / grid
+            # wide blocks (> WCAP): per-block path (shear grid / grid
             # fallback)
-            rest = np.flatnonzero(skewed | (wb > WCAP))
+            rest = np.flatnonzero(wb > WCAP)
             for j in rest:
                 n_ = int(cn_e[j])
                 st = int(st_e[j])
