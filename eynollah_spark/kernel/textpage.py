@@ -611,6 +611,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 # the scalar _select_gutters — A/B-fuzzed)
                 gl = _select_gutters_batch(prof_all[nsk], wb[sel][nsk], cfg)
                 gi = 0
+                pend = []  # sheared blocks: (j, st, shifts, sh_prof)
                 for jj, j in enumerate(take):
                     if not skewed[j]:
                         g = gl[gi]
@@ -623,25 +624,35 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                         rf = int(reg_first[jj])
                         n_ = int(cn_s[jj])
                         st = int(st_e[j])
-                        shifts = None
-                        sh_prof = None
                         res = _choose_shear(
                             ink[rf : rf + n_],
                             lens_li[rf : rf + n_],
                             lstr_len[st : st + n_],
                             cfg,
                         )
-                        if res is not None:
-                            _s_star, shifts, sh_prof = res
-                        if shifts is not None:
-                            g = _select_gutters(sh_prof, cfg)
-                        else:
-                            g = _find_gutters(
-                                lines_np, raw_len, range(st, st + n_), cfg
-                            )
-                        gutter_cache[st] = (shifts, sh_prof, g)
+                        if res is not None and res[1] is not None:
+                            # sheared-profile gutters run batched below
+                            pend.append((j, st, res[1], res[2]))
+                            continue
+                        g = _find_gutters(
+                            lines_np, raw_len, range(st, st + n_), cfg
+                        )
+                        gutter_cache[st] = (None, None, g)
                     if g:
                         complex_page[r_page[eligible[j]]] = True
+                if pend:
+                    wmaxp = max(len(p[3]) for p in pend)
+                    pgrid = np.zeros((len(pend), wmaxp), dtype=np.int64)
+                    for r, (_j, _st, _sh, pr) in enumerate(pend):
+                        pgrid[r, : len(pr)] = pr
+                    gls = _select_gutters_batch(
+                        pgrid, [len(p[3]) for p in pend], cfg
+                    )
+                    for r, (j, st, sh, pr) in enumerate(pend):
+                        g = gls[r]
+                        gutter_cache[st] = (sh, pr, g)
+                        if g:
+                            complex_page[r_page[eligible[j]]] = True
 
             # wide blocks (> WCAP): per-block path (shear grid / grid
             # fallback)
@@ -1640,37 +1651,51 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     # candidates with identical shift vectors score identically, so
     # build each distinct shift vector's profile once (short blocks
     # collapse most of the grid)
-    seen: dict[bytes, tuple] = {}
-    best = None  # (score, wp, s, shifts, profile)
-    for s in cands:
-        # np.rint == Python round on doubles (both half-to-even), so
-        # the shift vector is bit-identical to the scalar loop
-        raw_sh = np.rint(s * ks).astype(np.int64)
-        sh = raw_sh - raw_sh.min()
-        key = sh.tobytes()
-        got = seen.get(key)
-        if got is None:
-            wp = int((lens_a - sh).max())
-            if wp <= 0:
-                seen[key] = (None, None, None, None)
-                continue
-            idx = cols_nz - sh[rows_nz]
-            prof = np.bincount(idx[idx >= 0], minlength=wp).astype(
-                np.int64, copy=False
-            )
-            sv = int(prof.sum())
-            sv2 = int(np.dot(prof, prof))
-            score = wp * sv2 - sv * sv  # population variance * wp^2
-            got = (score, wp, prof, sh)
-            seen[key] = got
-        score, wp, prof, sh = got
-        if score is None:
+    # np.rint == Python round on doubles (both half-to-even), so the
+    # shift vectors are bit-identical to a scalar round() loop.
+    # Candidates with identical shift vectors score identically, so
+    # distinct vectors are profiled once — and ALL distinct profiles
+    # come from ONE offset-bincount over the flattened ink cells.
+    raw_all = np.rint(np.asarray(cands)[:, None] * ks[None, :]).astype(np.int64)
+    sh_all = raw_all - raw_all.min(axis=1, keepdims=True)
+    seen: dict[bytes, int] = {}
+    cand_slot = []  # candidate index -> distinct-vector slot
+    slots = []
+    for ci in range(len(cands)):
+        key = sh_all[ci].tobytes()
+        slot = seen.get(key)
+        if slot is None:
+            slot = len(slots)
+            seen[key] = slot
+            slots.append(ci)
+        cand_slot.append(slot)
+    dist = sh_all[slots]  # (m, n)
+    wps = (lens_a[None, :] - dist).max(axis=1)
+    m = len(slots)
+    wmax = int(wps.max()) if m else 0
+    if wmax <= 0:
+        return None
+    # per-line col-shift: idx < (len - sh) <= wp for every inked cell,
+    # so slot c's counts all land inside its own [c*wmax, c*wmax+wp_c)
+    idx = cols_nz[None, :] - dist[:, rows_nz]
+    ok = idx >= 0
+    flat = (np.arange(m, dtype=np.int64)[:, None] * wmax + idx)[ok]
+    profs = np.bincount(flat, minlength=m * wmax).reshape(m, wmax)
+    svs = profs.sum(axis=1)
+    sv2s = np.einsum("ij,ij->i", profs, profs)
+    best = None  # (score, wp, s, slot)
+    for ci, s in enumerate(cands):
+        slot = cand_slot[ci]
+        wp = int(wps[slot])
+        if wp <= 0:
             continue
+        score = wp * int(sv2s[slot]) - int(svs[slot]) ** 2  # pop var * wp^2
         if best is None or score * best[1] * best[1] > best[0] * wp * wp:
-            best = (score, wp, s, sh, prof)
+            best = (score, wp, s, slot)
     if best is None or abs(best[2]) < cfg.slope_threshold:
         return None
-    return best[2], best[3].tolist(), best[4]
+    slot = best[3]
+    return best[2], dist[slot].tolist(), profs[slot, : best[1]]
 
 
 def _ink_row(s: str) -> np.ndarray:
