@@ -595,16 +595,19 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 ink = (grid != 32) & (
                     np.arange(WCAP, dtype=np.int64)[None, :] < lens_li[:, None]
                 )
-                # per-block column sums via cumsum + row gather (much
-                # faster than axis-0 reduceat); F-order makes the
-                # axis-0 accumulation walk contiguous memory
+                # per-block column sums via ONE bincount over the ink
+                # coordinates (touches only the ~3% inked cells, vs a
+                # full-grid cumsum); the same coordinate arrays feed
+                # the shear grid for skewed blocks below
                 nsk = ~skewed[sel]
-                csum = np.cumsum(np.asfortranarray(ink), axis=0, dtype=np.int32)
-                last = csum[reg_first + cn_s - 1].astype(np.int64)
-                prev = np.zeros_like(last)
-                nz_ = reg_first > 0
-                prev[nz_] = csum[reg_first[nz_] - 1]
-                prof_all = last - prev
+                rows_nz, cols_nz = np.nonzero(ink)
+                blk_of_row = np.repeat(
+                    np.arange(len(take), dtype=np.int64), cn_s
+                )
+                blk_nz = blk_of_row[rows_nz]
+                prof_all = np.bincount(
+                    blk_nz * WCAP + cols_nz, minlength=len(take) * WCAP
+                ).reshape(len(take), WCAP)
                 # batched valley machinery: quick reject, run
                 # extraction, smoothing and prominence all run as grid
                 # ops over the whole chunk (bit-identical per row to
@@ -624,11 +627,14 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                         rf = int(reg_first[jj])
                         n_ = int(cn_s[jj])
                         st = int(st_e[j])
+                        lo = np.searchsorted(blk_nz, jj)
+                        hi = np.searchsorted(blk_nz, jj + 1)
                         res = _choose_shear(
-                            ink[rf : rf + n_],
+                            None,
                             lens_li[rf : rf + n_],
                             lstr_len[st : st + n_],
                             cfg,
+                            nz=(rows_nz[lo:hi] - rf, cols_nz[lo:hi]),
                         )
                         if res is not None and res[1] is not None:
                             # sheared-profile gutters run batched below
@@ -1610,7 +1616,7 @@ def _ls_slope_int(leads) -> tuple[int, int]:
     return n * sky - sk * sy, n * sk2 - sk * sk
 
 
-def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
+def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig, nz=None):
     """SPEC §6d deskew: shear-grid argmax (return_deskew_slop analog,
     separate_lines.py:1605-1646, in 1-D). Candidates are the LS slope's
     neighborhood plus 0; each candidate de-indents line k by
@@ -1623,7 +1629,7 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     if B <= 0 or abs(A) < cfg.slope_threshold * B:
         return None
     sls = A / B
-    n = len(ink_rows)
+    n = len(lens)
     cands = [0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5]
     lens_i = [int(lens[k]) for k in range(n)]
     lens_a = np.asarray(lens_i, dtype=np.int64)
@@ -1633,7 +1639,10 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig):
     # when they come from a fixed-width grid); each candidate's
     # sheared profile is then a single bincount of (col - shift[row])
     # instead of a per-line slice-add loop
-    if isinstance(ink_rows, np.ndarray) and ink_rows.ndim == 2:
+    if nz is not None:
+        # precomputed (row, col) ink coordinates, already length-masked
+        rows_nz, cols_nz = nz
+    elif isinstance(ink_rows, np.ndarray) and ink_rows.ndim == 2:
         rows_nz, cols_nz = np.nonzero(ink_rows)
         valid = cols_nz < lens_a[rows_nz]
         rows_nz = rows_nz[valid]
