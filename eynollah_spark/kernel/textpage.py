@@ -555,12 +555,14 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 cn_e.astype(np.float64) ** 2 * sy.astype(np.float64)
             ) > 3.0e18
             oversize = np.flatnonzero((cn_e > _LS_GATE_MAX_LINES) | unsafe)
+            exact_ab: dict[int, tuple] = {}
             for j in oversize:
                 st_j, cn_j = int(st_e[j]), int(cn_e[j])
                 A, B = _ls_slope_int(
                     [int(v) for v in lstr_len[st_j : st_j + cn_j]]
                 )
                 skewed[j] = B > 0 and abs(A) >= cfg.slope_threshold * B
+                exact_ab[int(j)] = (A, B)  # int64 A_e/B_e may have wrapped
 
             # batched profiles: ALL narrow blocks (straight and
             # skewed) share ONE UTF-32 grid per chunk instead of
@@ -615,37 +617,55 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 gl = _select_gutters_batch(prof_all[nsk], wb[sel][nsk], cfg)
                 gi = 0
                 pend = []  # sheared blocks: (j, st, shifts, sh_prof)
+                skew_jj = []
                 for jj, j in enumerate(take):
                     if not skewed[j]:
                         g = gl[gi]
                         gi += 1
                         gutter_cache[int(st_e[j])] = (None, None, g)
+                        if g:
+                            complex_page[r_page[eligible[j]]] = True
                     else:
-                        # shear over this block's chunk ink rows (a
-                        # view; WCAP padding is already masked False,
-                        # so the cells equal the per-block grid's)
+                        skew_jj.append(jj)
+                if skew_jj:
+                    # the whole chunk's shear grids in one batch; ink
+                    # coordinates come from the shared bincount pass
+                    specs = []
+                    for jj in skew_jj:
+                        j = take[jj]
                         rf = int(reg_first[jj])
                         n_ = int(cn_s[jj])
                         st = int(st_e[j])
                         lo = np.searchsorted(blk_nz, jj)
                         hi = np.searchsorted(blk_nz, jj + 1)
-                        res = _choose_shear(
-                            None,
-                            lens_li[rf : rf + n_],
-                            lstr_len[st : st + n_],
-                            cfg,
-                            nz=(rows_nz[lo:hi] - rf, cols_nz[lo:hi]),
+                        ab = exact_ab.get(int(j))
+                        if ab is None:
+                            ab = (int(A_e[j]), int(B_e[j]))
+                        specs.append(
+                            (
+                                ab[0],
+                                ab[1],
+                                lens_li[rf : rf + n_],
+                                rows_nz[lo:hi] - rf,
+                                cols_nz[lo:hi],
+                            )
                         )
-                        if res is not None and res[1] is not None:
-                            # sheared-profile gutters run batched below
+                    for jj, res in zip(
+                        skew_jj, _choose_shear_batch(specs, cfg)
+                    ):
+                        j = take[jj]
+                        st = int(st_e[j])
+                        if res is not None:
+                            # sheared-profile gutters batch below
                             pend.append((j, st, res[1], res[2]))
                             continue
+                        n_ = int(cn_s[jj])
                         g = _find_gutters(
                             lines_np, raw_len, range(st, st + n_), cfg
                         )
                         gutter_cache[st] = (None, None, g)
-                    if g:
-                        complex_page[r_page[eligible[j]]] = True
+                        if g:
+                            complex_page[r_page[eligible[j]]] = True
                 if pend:
                     wmaxp = max(len(p[3]) for p in pend)
                     pgrid = np.zeros((len(pend), wmaxp), dtype=np.int64)
@@ -1705,6 +1725,91 @@ def _choose_shear(ink_rows, lens, leads, cfg: ExtractConfig, nz=None):
         return None
     slot = best[3]
     return best[2], dist[slot].tolist(), profs[slot, : best[1]]
+
+
+def _choose_shear_batch(specs, cfg: ExtractConfig):
+    """Batched `_choose_shear` over many blocks at once. ``specs`` is a
+    list of (A, B, lens, rows_loc, cols_loc) per block — A/B the EXACT
+    integer LS-slope fraction (python ints, so sls = A/B is the same
+    correctly-rounded double the scalar path computes), lens the line
+    lengths, rows/cols the length-masked ink coordinates. Returns one
+    scalar-path-identical result per block: the entire candidate grid
+    (6 per block) shears through ONE rint, ONE offset bincount and ONE
+    einsum; only the 6-way winner comparison (python ints — the
+    rational cross-product can exceed int64) walks blocks in Python.
+    A/B-fuzzed against the scalar path in tests/test_kernel_oracle.py."""
+    nb = len(specs)
+    if nb == 0:
+        return []
+    C = 6
+    n_b = np.asarray([len(sp[2]) for sp in specs], dtype=np.int64)
+    offs = np.cumsum(n_b) - n_b
+    ktot = int(n_b.sum())
+    k_flat = np.arange(ktot, dtype=np.int64) - np.repeat(offs, n_b)
+    lens_flat = np.concatenate([np.asarray(sp[2], dtype=np.int64) for sp in specs])
+    sls_list = [sp[0] / sp[1] for sp in specs]  # exact-int true division
+    s_arr = np.empty((nb, C), dtype=np.float64)
+    for b, sls in enumerate(sls_list):
+        s_arr[b] = (0.0, sls - 0.5, sls - 0.25, sls, sls + 0.25, sls + 0.5)
+    # shift vectors: rint(s*k), normalized so the block minimum is 0.
+    # rint of a monotone sequence is monotone, so the minimum is
+    # min(rint(s*0)=0, rint(s*(n-1))) in closed form.
+    s_line = np.repeat(s_arr, n_b, axis=0).T  # (C, ktot)
+    raw = np.rint(s_line * k_flat.astype(np.float64)[None, :]).astype(np.int64)
+    m_last = np.rint(s_arr * (n_b - 1)[:, None].astype(np.float64)).astype(np.int64)
+    min0 = np.minimum(0, m_last)  # (nb, C)
+    sh = raw - np.repeat(min0, n_b, axis=0).T  # (C, ktot)
+    # wp per (block, cand): max over the block's lines of len - shift
+    sent = np.full(1, -(1 << 60), dtype=np.int64)
+    wps = np.empty((nb, C), dtype=np.int64)
+    for c in range(C):
+        wps[:, c] = np.maximum.reduceat(
+            np.concatenate([lens_flat - sh[c], sent]), offs
+        )[:nb] if ktot else 0
+    W = int(lens_flat.max()) if ktot else 0
+    if W <= 0:
+        return [None] * nb
+    # ink coordinates flattened across blocks
+    blk_cells = []
+    line_off = offs
+    rows_g = []
+    cols_g = []
+    for b, sp in enumerate(specs):
+        r, c_ = sp[3], sp[4]
+        rows_g.append(np.asarray(r, dtype=np.int64) + line_off[b])
+        cols_g.append(np.asarray(c_, dtype=np.int64))
+        blk_cells.append(np.full(len(r), b, dtype=np.int64))
+    rows_g = np.concatenate(rows_g) if rows_g else np.zeros(0, np.int64)
+    cols_g = np.concatenate(cols_g) if cols_g else np.zeros(0, np.int64)
+    blk_cells = np.concatenate(blk_cells) if blk_cells else np.zeros(0, np.int64)
+    # one offset bincount: slot (b, c) owns [ (b*C+c)*W, ...+wp_bc )
+    idx = cols_g[None, :] - sh[:, rows_g]  # (C, nnz)
+    ok = idx >= 0
+    base = blk_cells * (C * W)
+    flat = (base[None, :] + (np.arange(C, dtype=np.int64) * W)[:, None] + idx)[ok]
+    profs = np.bincount(flat, minlength=nb * C * W).reshape(nb * C, W)
+    svs = profs.sum(axis=1)
+    sv2s = np.einsum("ij,ij->i", profs, profs)
+    out = []
+    for b in range(nb):
+        best = None  # (score, wp, s, c)
+        for c in range(C):
+            wp = int(wps[b, c])
+            if wp <= 0:
+                continue
+            slot = b * C + c
+            score = wp * int(sv2s[slot]) - int(svs[slot]) ** 2
+            if best is None or score * best[1] * best[1] > best[0] * wp * wp:
+                best = (score, wp, float(s_arr[b, c]), c)
+        if best is None or abs(best[2]) < cfg.slope_threshold:
+            out.append(None)
+            continue
+        c = best[3]
+        lo, hi = int(offs[b]), int(offs[b] + n_b[b])
+        out.append(
+            (best[2], sh[c, lo:hi].tolist(), profs[b * C + c, : best[1]])
+        )
+    return out
 
 
 def _ink_row(s: str) -> np.ndarray:

@@ -748,3 +748,49 @@ def test_select_gutters_batch_matches_scalar(seed):
             for r in range(m):
                 want = _select_gutters(grid[r, : int(widths[r])], cfg)
                 assert got[r] == want, (r, int(widths[r]), grid[r].tolist())
+
+
+@pytest.mark.parametrize("seed", [5, 23, 71])
+def test_choose_shear_batch_matches_scalar(seed):
+    """A/B fuzz: the cross-block batched shear grid must reproduce the
+    scalar _choose_shear result (slope, shift vector, sheared profile)
+    for every block, including no-shear Nones, staggered columns, and
+    blocks whose candidates collapse to identical shift vectors."""
+    import numpy as np
+
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import (
+        _choose_shear,
+        _choose_shear_batch,
+        _ls_slope_int,
+    )
+
+    rng = np.random.default_rng(seed)
+    cfg = ExtractConfig()
+    specs = []
+    scalar = []
+    for _ in range(30):
+        n = int(rng.integers(3, 40))
+        w = int(rng.integers(4, 120))
+        lens = rng.integers(1, w + 1, size=n)
+        ink = rng.random((n, w)) < 0.4
+        # staggered indent so many blocks pass the slope gate
+        leads = (np.arange(n) * float(rng.choice([0.0, 0.4, 1.0, 2.5]))
+                 + rng.integers(0, 3, size=n)).astype(np.int64)
+        A, B = _ls_slope_int([int(v) for v in leads])
+        if B <= 0 or abs(A) < cfg.slope_threshold * B:
+            continue  # batch contract: caller only passes gated blocks
+        rows, cols = np.nonzero(ink)
+        keep = cols < lens[rows]
+        specs.append((A, B, lens, rows[keep], cols[keep]))
+        scalar.append(_choose_shear(ink, lens, leads, cfg))
+    assert specs, "fuzz produced no gated blocks"
+    got = _choose_shear_batch(specs, cfg)
+    assert len(got) == len(scalar)
+    for g, s in zip(got, scalar):
+        if s is None:
+            assert g is None
+            continue
+        assert g is not None
+        assert g[0] == s[0] and g[1] == s[1]
+        assert np.array_equal(g[2], s[2])
