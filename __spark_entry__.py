@@ -1693,12 +1693,26 @@ WITH {_SHINGLES_CTE},
 SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
-    minhash_h = _h64sql("(CAST(i AS VARCHAR) || ':' || shingle)")
+    # permutation i = xor-rotate bijection of ONE 60-bit md5 per
+    # shingle (mirror of dedup._perm_consts/_perm_mix): the VALUES
+    # table carries the baked (i, k, r) constants
+    from eynollah_spark.operators.dedup import _perm_consts
+
+    perm_rows = ", ".join(
+        f"({i}, {kk}, {rr})" for i, (kk, rr) in enumerate(_perm_consts(MINHASH_N))
+    )
+    minhash_mix = (
+        "((xor(hb, p.k) & ((1::BIGINT << (60 - p.r)) - 1)) << p.r)"
+        " | (xor(hb, p.k) >> (60 - p.r))"
+    )
     minhash_ctes = f"""{_SHINGLES_CTE},
+mhb AS (
+  SELECT doc_id, {_h64sql("shingle")} AS hb FROM sh
+),
 mh AS (
-  SELECT doc_id, i, min({minhash_h}) AS h
-  FROM sh, (SELECT unnest(range({MINHASH_N})) AS i)
-  GROUP BY doc_id, i
+  SELECT doc_id, p.i, min({minhash_mix}) AS h
+  FROM mhb, (VALUES {perm_rows}) AS p(i, k, r)
+  GROUP BY doc_id, p.i
 ),
 bands AS (
   SELECT doc_id, i // {MINHASH_N // MINHASH_BANDS} AS band,

@@ -36,6 +36,35 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic xor-rotate permutation constants (k_i, r_i):
+    k_i is the 60-bit md5 of 'perm:i', r_i a rotation in [1, 59]
+    derived from it. Engine-portable (plain integers baked into the
+    plan / oracle SQL)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        k = int(hashlib.md5(f"perm:{i}".encode()).hexdigest()[:15], 16)
+        out.append((k, k % 59 + 1))
+    return out
+
+
+def _perm_mix(base, k: int, r: int):
+    """Bijective 60-bit mix: rotate-left(base XOR k, r) within 60
+    bits. One-permutation-hashing style: ONE cryptographic hash per
+    shingle, then cheap integer bijections per permutation — 16x
+    fewer md5s than hashing (i, shingle) per permutation, with the
+    same portability (the oracle mirrors the identical arithmetic).
+    All intermediates stay under 2^60, so no int64 overflow on any
+    engine."""
+    x = base.bitwiseXOR(F.lit(k))
+    low = (1 << (60 - r)) - 1
+    return F.shiftleft(x.bitwiseAND(F.lit(low)), r).bitwiseOR(
+        F.shiftright(x, 60 - r)
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """doc_id -> exploded distinct k-word shingles (JVM-side only:
     split/transform/slice/explode, no Python)."""
@@ -140,12 +169,15 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """doc_id -> array<bigint> of minhashes. Permutation i is the md5
-    of (i ':' shingle) — deterministic and engine-portable."""
-    sh = word_shingles(df, text_col, k)
+    """doc_id -> array<bigint> of minhashes. One 60-bit md5 per
+    shingle, permutation i applied as the xor-rotate bijection of
+    ``_perm_mix`` — deterministic and engine-portable."""
+    sh = word_shingles(df, text_col, k).select(
+        "doc_id", _h64(F.col("shingle")).alias("hb")
+    )
     aggs = [
-        F.min(_h64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(_perm_mix(F.col("hb"), kk, rr)).alias(f"h{i}")
+        for i, (kk, rr) in enumerate(_perm_consts(num_hashes))
     ]
     # n_sh (set size, needed by Jaccard verification) rides the same
     # groupBy so callers never re-scan the shingles for sizes
@@ -474,19 +506,22 @@ def minhash_signature_col(text_col, k: int = 3, num_hashes: int = 16):
     identical to minhash_signatures' groupBy result (asserted in
     tests), but computed without any shuffle, so it composes with
     Structured Streaming's stateless operators."""
-    sh = shingle_array(text_col, k)
+    # ONE md5 per shingle; each permutation is a cheap xor-rotate
+    # bijection of that base (same family as minhash_signatures).
+    # The 16 transforms below share the identical `bases` subtree,
+    # which Spark's subexpression elimination evaluates once per row.
+    bases = F.transform(shingle_array(text_col, k), lambda s: _h64(s))
 
     # single-arg closure factory: F.transform passes (element, index)
     # to two-arg lambdas, so a `lambda s, i=i:` default would silently
     # receive the ELEMENT INDEX as i (the documented trap fixed in
     # lsh_topk in round 2)
-    def perm_min(i: int):
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(sh, lambda s: _h64(F.concat(F.lit(prefix), s)))
-        )
+    def perm_min(kk: int, rr: int):
+        return F.array_min(F.transform(bases, lambda b: _perm_mix(b, kk, rr)))
 
-    return F.array(*[perm_min(i) for i in range(num_hashes)])
+    return F.array(
+        *[perm_min(kk, rr) for kk, rr in _perm_consts(num_hashes)]
+    )
 
 
 # ---------------------------------------------------------------------------

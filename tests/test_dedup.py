@@ -124,14 +124,21 @@ def test_near_dup_clusters_warns_when_unconverged(spark):
 
     from eynollah_spark.operators.dedup import near_dup_clusters
 
-    base = "the quick brown fox jumps over the lazy dog again and again today"
-    b = base.replace("fox", "cat")
-    c = b.replace("dog", "owl")
+    # 30-word docs differing in one word per hop: 5~6 and 6~7 are
+    # near-dups (jaccard 0.806), 5~7 is not (0.68 < threshold), so the
+    # component is a genuine 2-hop chain under threshold=0.75
+    words = [f"w{i:02d}token" for i in range(30)]
+    base = " ".join(words)
+    wb = list(words)
+    wb[5] = "changedone"
+    wc = list(wb)
+    wc[25] = "changedtwo"
     docs = spark.createDataFrame(
-        [(5, base), (6, b), (7, c)], ["doc_id", "text"]
+        [(5, base), (6, " ".join(wb)), (7, " ".join(wc))],
+        ["doc_id", "text"],
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        near_dup_clusters(docs, threshold=0.45, max_iters=1).collect()
+        near_dup_clusters(docs, threshold=0.75, max_iters=1).collect()
 
 
 def test_near_dup_clusters_no_persisted_leftovers(spark):
@@ -164,14 +171,25 @@ def test_near_dup_clusters_transitivity(spark):
     labelled by the smallest doc_id — requires >1 propagation round."""
     from eynollah_spark.operators.dedup import near_dup_clusters
 
-    base = "the quick brown fox jumps over the lazy dog again and again today"
-    b = base.replace("fox", "cat")
-    c = b.replace("dog", "owl")
-    rows = [(1, base), (2, b), (3, c), (9, "completely different content here entirely")]
+    # same 2-hop chain shape as the unconverged-warning test: one
+    # word changed per hop in a 30-word doc (1~2 = 2~3 = 0.806,
+    # 1~3 = 0.68 < threshold)
+    words = [f"w{i:02d}token" for i in range(30)]
+    base = " ".join(words)
+    wb = list(words)
+    wb[5] = "changedone"
+    wc = list(wb)
+    wc[25] = "changedtwo"
+    rows = [
+        (1, base),
+        (2, " ".join(wb)),
+        (3, " ".join(wc)),
+        (9, "completely different content here entirely"),
+    ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
         r.doc_id: (r.cluster_id, r.cluster_size)
-        for r in near_dup_clusters(docs, threshold=0.45).collect()
+        for r in near_dup_clusters(docs, threshold=0.75).collect()
     }
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[9] == (9, 1)
