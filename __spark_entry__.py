@@ -146,6 +146,18 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+def _q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import hashed_classifier_scores
+
+    return hashed_classifier_scores(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_scores(_docs(spark, sf_dir)).select(
         "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_guess"
@@ -798,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "lm_quality": _q_lm_quality,
+        "classifier_filter": _q_classifier_filter,
         "doc_fingerprint": _q_fingerprint,
         "contamination_check": _q_contamination,
         "pii_scrub": _q_pii_scrub,
@@ -1309,6 +1323,68 @@ SELECT doc_id,
              + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
              6) AS quality_score
 FROM documents
+"""
+
+    # quantized bigram-LM cross-entropy (mirror of bigram_lm_scores):
+    # bits(x) = length(bin(x)); the shared +1 offset of floor(log2)+1
+    # cancels in the difference
+    sql["lm_quality"] = f"""
+WITH lmtk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+),
+occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(greatest(len(tk) - 1, 0)),
+           i -> struct_pack(bg := tk[i+1] || ' ' || tk[i+2],
+                            pre := tk[i+1]))) AS p
+  FROM lmtk
+),
+occ AS (
+  SELECT doc_id, {_h64sql("p.bg")} AS bh, {_h64sql("p.pre")} AS ph FROM occ0
+),
+cb AS (SELECT bh, count(*) AS c_big FROM occ GROUP BY bh),
+cp AS (SELECT ph, count(*) AS c_pre FROM occ GROUP BY ph),
+vv AS (SELECT count(DISTINCT ph) AS v FROM occ),
+sc AS (
+  SELECT doc_id,
+         length(bin(c_pre + v)) - length(bin(c_big + 1)) AS cost_bits
+  FROM occ JOIN cb USING (bh) JOIN cp USING (ph) CROSS JOIN vv
+),
+lmper AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(cost_bits), 4) AS xent_bits
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, xent_bits
+FROM documents d LEFT JOIN lmper USING (doc_id)
+"""
+
+    # hashed linear classifier (mirror of hashed_classifier_scores)
+    clf_w = _h64sql("('w:' || CAST(i AS VARCHAR))")
+    clf_tok = _h64sql("tok")
+    sql["classifier_filter"] = f"""
+WITH w AS (
+  SELECT i AS bucket, ({clf_w} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(65536)) AS i)
+),
+ctk AS (
+  SELECT doc_id, {clf_tok} % 65536 AS bucket
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents)
+),
+cper AS (
+  SELECT doc_id, count(*) AS n_toks, round(avg(w.w), 4) AS logit,
+         avg(w.w) > 0 AS keep
+  FROM ctk JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks, logit, keep
+FROM documents d LEFT JOIN cper USING (doc_id)
 """
 
     shingle_h = _h64sql("array_to_string(tk[i+1 : i+3], ' ')")

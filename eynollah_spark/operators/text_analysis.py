@@ -353,3 +353,143 @@ def pack_documents(
             F.floor(F.col("_pre") / budget).cast("bigint").alias("pack_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality scoring (CCNet-style perplexity filter, quantized)
+# ---------------------------------------------------------------------------
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under a bigram LM trained on the
+    corpus itself — the CCNet/KenLM "perplexity quality filter" shape
+    (low score = predictable, well-formed text; high = unnatural or
+    garbled), with probabilities QUANTIZED to powers of two so the
+    score is integer-exact and engine-portable (no libm log whose last
+    ulp could differ between engines):
+
+        bits(x)   = floor(log2(x)) = length(bin(x)) - 1
+        cost(w1 w2) = bits(c(w1) + V) - bits(c(w1 w2) + 1)
+        xent_bits = avg over bigram occurrences of cost
+
+    which is -log2 of the add-one-smoothed bigram probability rounded
+    to its power-of-two bucket. Returns (doc_id, n_bigrams,
+    xent_bits); docs with < 2 tokens have n_bigrams = 0 and NULL
+    score.
+
+    Scale shape: bigram/prefix counts are two corpus-wide groupBys on
+    a 60-bit hash key (never the raw strings); scoring joins the
+    occurrence stream to both count tables on those keys (AQE handles
+    hot-bigram skew); the vocab size V is a 1-row aggregate broadcast
+    by crossJoin. No UDFs, no driver collection.
+    """
+    from eynollah_spark.operators.dedup import _h64
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    # guard: F.sequence(0, n-2) would COUNT DOWN for n < 2
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.concat(
+                    F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+                ).alias("bg"),
+                F.element_at(toks, i + 1).alias("pre"),
+            ),
+        ),
+    ).otherwise(F.array())
+    occ = df.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        _h64(F.col("p.bg")).alias("bh"),
+        _h64(F.col("p.pre")).alias("ph"),
+    )
+    cb = occ.groupBy("bh").agg(F.count(F.lit(1)).alias("c_big"))
+    cp = occ.groupBy("ph").agg(F.count(F.lit(1)).alias("c_pre"))
+    vocab = occ.agg(F.countDistinct("ph").alias("v"))
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731 — shared offset of 1 cancels in the difference
+    scored = (
+        occ.join(cb, "bh")
+        .join(cp, "ph")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (bits(F.col("c_pre") + F.col("v")) - bits(F.col("c_big") + 1)).alias(
+                "cost_bits"
+            ),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("cost_bits"), 4).alias("xent_bits"),
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent_bits",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style filter)
+# ---------------------------------------------------------------------------
+def hashed_classifier_scores(
+    df: DataFrame, text_col: str = "text", buckets: int = 1 << 16
+) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words features — the
+    fastText-filter shape used for quality/domain gating (DCLM, LLaMA
+    CCNet pipelines): token -> feature bucket by 60-bit hash, a
+    broadcast (bucket, weight) table, document logit = mean bucket
+    weight.
+
+    The weight table here is a deterministic md5-derived stand-in for
+    trained parameters (integer weights in [-1000, 1000]; the plumbing
+    — broadcast dim join against an exploded token stream, mean-pool,
+    threshold — is the production shape; swap the range() expression
+    for a real table of trained weights). Integer sums keep the logit
+    exact, so the DuckDB oracle hashes equal.
+
+    Returns (doc_id, n_toks, logit, keep); docs with no tokens get
+    n_toks = 0 and NULL logit/keep.
+    """
+    from eynollah_spark.operators.dedup import _h64
+
+    weights = df.sparkSession.range(buckets).select(
+        F.col("id").alias("bucket"),
+        ((_h64(F.concat(F.lit("w:"), F.col("id"))) % 2001) - 1000).alias("w"),
+    )
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    ).select("doc_id", (_h64(F.col("tok")) % buckets).alias("bucket"))
+    per = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("w"), 4).alias("logit"),
+            (F.avg("w") > 0).alias("keep"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            "logit",
+            "keep",
+        )
+    )

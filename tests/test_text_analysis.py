@@ -208,3 +208,43 @@ def test_pack_documents_contiguous_fill(spark):
         ).collect()
     }
     assert small == got
+
+
+def test_bigram_lm_scores_orders_natural_below_gibberish(spark):
+    """Docs built from corpus-common bigrams must score LOWER
+    (more predictable) than a doc of corpus-unique bigrams; <2-token
+    docs have n_bigrams=0 and NULL score."""
+    from eynollah_spark.operators.text_analysis import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        (4, "the cat sat on the mat again"),
+        (5, "zqx wvu pqr mno jkl hgf"),  # every bigram unique
+        (6, "single"),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert got[1].xent_bits == got[2].xent_bits == got[3].xent_bits
+    assert got[1].xent_bits < got[5].xent_bits
+    assert got[4].xent_bits < got[5].xent_bits
+    assert got[6].n_bigrams == 0 and got[6].xent_bits is None
+    assert got[7].n_bigrams == 0 and got[7].xent_bits is None
+    assert got[5].n_bigrams == 5
+
+
+def test_hashed_classifier_scores_shape(spark):
+    """Deterministic logits; token counts; tokenless docs get NULL
+    logit/keep; keep is exactly logit>0 (pre-rounding)."""
+    from eynollah_spark.operators.text_analysis import hashed_classifier_scores
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, ""), (4, "  ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in hashed_classifier_scores(docs).collect()}
+    assert got[1].n_toks == 3 and got[1].logit == got[2].logit
+    assert got[1].keep == (got[1].logit > 0)
+    for d in (3, 4):
+        assert got[d].n_toks == 0 and got[d].logit is None and got[d].keep is None
