@@ -735,9 +735,95 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 fr_start, fr_count, fr_label, fr_band, fr_page,
                 pdf, stripped_np, line_start + lstr_len, s_len, lstr_len, cfg,
             )
+        # §6p batched page-union profiles: every complex page with
+        # >= 2 text blocks detects page columns over the UNION ink
+        # profile of its text-block lines (SPEC §6p). Batching the
+        # profiles into per-chunk coordinate bincounts + the grid
+        # valley machinery removes the per-page U-grid build and
+        # scalar _select_gutters call from the slow-path walk (the
+        # two dominated _emit_page time once blocks were batched).
+        # Pages wider than _PG_WCAP keep the per-page fallback.
+        page_gutter_cache: dict[int, list] = {}
+        cplx = complex_page & ~tool_page
+        if cplx.any() and len(starts):
+            txt_r = np.flatnonzero((r_label == C_TEXT) & cplx[r_page])
+            ntb = np.bincount(r_page[txt_r], minlength=P)
+            elig_r = txt_r[ntb[r_page[txt_r]] >= 2]
+            if len(elig_r):
+                st_r = starts[elig_r].astype(np.int64)
+                cn_r = counts[elig_r].astype(np.int64)
+                pg_of_r = r_page[elig_r]
+                # per-page max text-line width via segment reductions
+                idx2p = np.empty(2 * len(st_r), dtype=np.int64)
+                idx2p[0::2] = st_r
+                idx2p[1::2] = st_r + cn_r
+                sentp = np.zeros(1, dtype=np.int64)
+                wreg = np.maximum.reduceat(
+                    np.concatenate([raw_len, sentp]), idx2p
+                )[0::2]
+                pw = np.zeros(P, dtype=np.int64)
+                np.maximum.at(pw, pg_of_r, wreg)
+                _PG_WCAP = 512
+                keep = (pw[pg_of_r] > 0) & (pw[pg_of_r] <= _PG_WCAP)
+                st_r, cn_r, pg_of_r = st_r[keep], cn_r[keep], pg_of_r[keep]
+                # group regions by page (pages are contiguous after
+                # this stable sort), then chunk pages by line volume
+                order = np.argsort(pg_of_r, kind="stable")
+                st_r, cn_r, pg_of_r = st_r[order], cn_r[order], pg_of_r[order]
+                upage, ufirst = np.unique(pg_of_r, return_index=True)
+                ulast = np.append(ufirst[1:], len(pg_of_r))
+                pos = 0
+                while pos < len(upage):
+                    take_end = pos
+                    tot = 0
+                    while take_end < len(upage) and tot < 16384:
+                        tot += int(
+                            cn_r[ufirst[take_end] : ulast[take_end]].sum()
+                        )
+                        take_end += 1
+                    rsel = slice(ufirst[pos], ulast[take_end - 1])
+                    st_s, cn_s = st_r[rsel], cn_r[rsel]
+                    pg_s = pg_of_r[rsel]
+                    reg_first = np.cumsum(cn_s) - cn_s
+                    li = np.repeat(st_s - reg_first, cn_s) + np.arange(
+                        int(cn_s.sum()), dtype=np.int64
+                    )
+                    W = int(pw[upage[pos:take_end]].max())
+                    grid = (
+                        lines_np[li]
+                        .astype(f"U{W}")
+                        .view(np.uint32)
+                        .reshape(len(li), W)
+                    )
+                    lens_li = raw_len[li]
+                    ink = (grid != 32) & (
+                        np.arange(W, dtype=np.int64)[None, :]
+                        < lens_li[:, None]
+                    )
+                    # page slot per line row of this chunk
+                    pslot = np.repeat(
+                        np.searchsorted(upage[pos:take_end], pg_s), cn_s
+                    )
+                    rows_nz, cols_nz = np.nonzero(ink)
+                    nchunk = take_end - pos
+                    prof = np.bincount(
+                        pslot[rows_nz] * W + cols_nz, minlength=nchunk * W
+                    ).reshape(nchunk, W)
+                    gl = _select_gutters_batch(
+                        prof, pw[upage[pos:take_end]], cfg
+                    )
+                    for s, p in enumerate(upage[pos:take_end]):
+                        # (page text width, gutters): the width bounds
+                        # the final column segment in _emit_page
+                        page_gutter_cache[int(offsets[p])] = (
+                            int(pw[p]),
+                            gl[s],
+                        )
+                    pos = take_end
         pages_iter = np.flatnonzero(complex_page & ~tool_page)
     else:
         gutter_cache = {}
+        page_gutter_cache = {}
         pages_iter = np.arange(P)
 
     for t in pages_iter:
@@ -782,6 +868,7 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
             want_diag,
             gutter_cache,
             page_ctx=(int(offsets[t]), cls, active),
+            page_gutter_cache=page_gutter_cache,
         )
         if want_diag:
             diag_rows.append(res)
@@ -1094,7 +1181,7 @@ def _emit_page(
     regions, n, ratio, used_b,
     raw, strp, lstart, lead, slen, rlen,
     cfg: ExtractConfig, want_diag: bool, gutter_cache=None,
-    page_ctx=None,
+    page_ctx=None, page_gutter_cache=None,
 ):
     """SPEC §§6-10 for one page: column split, span materialization,
     reading order, drop-capital merge, small-fragment adherence,
@@ -1150,7 +1237,17 @@ def _emit_page(
     # column-major ACROSS bands. -------------------------------------------
     page_gutters = None
     page_w = 0
-    if n_text_blocks >= 2 and any(g for (_s, _p, g) in block_res.values()):
+    if (
+        n_text_blocks >= 2
+        and any(g for (_s, _p, g) in block_res.values())
+        and page_gutter_cache is not None
+        and page_ctx is not None
+        and page_ctx[0] in page_gutter_cache
+    ):
+        # batched pre-pass already ran the union-profile valley scan
+        page_w, pg = page_gutter_cache[page_ctx[0]]
+        page_gutters = pg if pg else None
+    elif n_text_blocks >= 2 and any(g for (_s, _p, g) in block_res.values()):
         all_lids = np.asarray(
             [i for r in regions if r[0] == RT_TEXT for i in r[4]], dtype=np.int64
         )
