@@ -260,7 +260,21 @@ def page_diags_batch(
     return _analyze_batch(pdf, model, want_diag=True)
 
 
-def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
+def analyze_turns_frames(
+    pdf: pd.DataFrame, model: LineModel | None = None
+) -> list[pd.DataFrame]:
+    """Iterator-friendly twin of ``analyze_turns_batch``: returns the
+    fast-path and slow-path frames as a LIST (0-2 entries) instead of
+    concatenating them — mapInPandas yields each directly, skipping
+    the pandas block consolidation that concat forces. Row order
+    across the frames is NOT part of the contract (extract.py imposes
+    the conversation windows downstream)."""
+    return _analyze_batch(pdf, model, want_diag=False, as_frames=True)
+
+
+def _analyze_batch(
+    pdf: pd.DataFrame, model, want_diag: bool, as_frames: bool = False
+):
     if model is None:
         model = LineModel()
     cfg = model.cfg
@@ -924,6 +938,13 @@ def _analyze_batch(pdf: pd.DataFrame, model, want_diag: bool) -> pd.DataFrame:
                 "text": pd.Series([], dtype="object"),
             }
         )
+    if as_frames:
+        frames = []
+        if fast_df is not None and len(fast_df):
+            frames.append(fast_df)
+        if len(out):
+            frames.append(out)
+        return frames
     if fast_df is not None and len(fast_df):
         out = pd.concat([fast_df, out], ignore_index=True) if len(out) else fast_df
     return out

@@ -110,19 +110,21 @@ def _kernel_iter(bc_cfg, metrics=None):
     key = _bc_key(bc_cfg)  # captured in the task closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from eynollah_spark.kernel.textpage import LineModel, analyze_turns_batch
+        from eynollah_spark.kernel.textpage import LineModel, analyze_turns_frames
 
         model = _MODEL_CACHE.get(key)
         if model is None:
             model = LineModel(bc_cfg.value if bc_cfg is not None else DEFAULT_CONFIG)
             _MODEL_CACHE[key] = model
         for pdf in batches:
-            out = analyze_turns_batch(pdf, model)
+            # fast- and slow-path frames yield separately (no pandas
+            # concat/consolidation); downstream windows impose order
+            frames = analyze_turns_frames(pdf, model)
             if metrics is not None:
                 metrics["turns_in"].add(len(pdf))
                 metrics["bytes_parsed"].add(int(pdf["text"].str.len().fillna(0).sum()))
-                metrics["spans_emitted"].add(len(out))
-            yield out
+                metrics["spans_emitted"].add(sum(len(f) for f in frames))
+            yield from frames
 
     return run
 
