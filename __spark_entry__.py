@@ -68,6 +68,8 @@ MINHASH_N = 16
 MINHASH_BANDS = 4
 CLUSTER_T = 0.5  # near-dup clustering jaccard threshold
 SIMHASH_MAX_DIST = 8
+SUBSTR_K = 8  # duplicate-substring scrub window (tokens)
+SUBSTR_MAXF = 1  # windows seen more than this often are duplicates
 SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
 SIMHASH_MAX_BAND_FREQ = 1000  # per-band hot-bucket cap (skew guard)
 TOPK_K = 5
@@ -354,6 +356,14 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=JACCARD_K,
         threshold=JACCARD_T,
         max_doc_freq=JACCARD_MAX_DF,
+    )
+
+
+def _q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.dedup import duplicate_ngram_scrub
+
+    return duplicate_ngram_scrub(
+        _docs(spark, sf_dir), k=SUBSTR_K, max_freq=SUBSTR_MAXF
     )
 
 
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_scrub": _q_substring_scrub,
         "curation_survivors": _q_curation_survivors,
         "curation_full": _q_curation_full,
         "jaccard_pairs": _q_jaccard,
@@ -1760,6 +1771,53 @@ contam AS (
 )
 SELECT doc_id FROM deduped
 WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = deduped.doc_id)
+"""
+
+    # exact duplicate-substring scrub (mirror of duplicate_ngram_scrub)
+    sub_kh = _h64sql(f"array_to_string(tk[i+1 : i+{SUBSTR_K}], ' ')")
+    sql["substring_scrub"] = f"""
+WITH sdt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+),
+socc AS (
+  SELECT doc_id, p.pos AS pos, p.kh AS kh FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - {SUBSTR_K} + 1, 0)),
+             i -> struct_pack(pos := i, kh := {sub_kh}))) AS p
+    FROM sdt)
+),
+sstats AS (
+  SELECT kh, count(*) AS freq, min(doc_id) AS first_doc FROM socc GROUP BY kh
+),
+srm AS (
+  SELECT doc_id, pos,
+         (freq > {SUBSTR_MAXF} AND doc_id <> first_doc) AS rm
+  FROM socc JOIN sstats USING (kh)
+),
+stok AS (
+  SELECT doc_id, q.pos AS pos, q.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(tk)),
+                  i -> struct_pack(pos := i, tok := tk[i+1]))) AS q
+    FROM sdt)
+),
+scov AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         coalesce(max(CASE WHEN rm THEN 1 ELSE 0 END) OVER (
+           PARTITION BY t.doc_id ORDER BY t.pos
+           ROWS BETWEEN {SUBSTR_K - 1} PRECEDING AND CURRENT ROW), 0) = 1
+           AS cov
+  FROM stok t LEFT JOIN srm USING (doc_id, pos)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN cov THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos),
+                '') AS text
+FROM scov GROUP BY doc_id
 """
 
     sql["jaccard_pairs"] = f"""

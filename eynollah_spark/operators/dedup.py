@@ -594,3 +594,90 @@ def paragraph_dedup(
             F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. exact duplicate-substring scrubbing (token n-gram span removal)
+# ---------------------------------------------------------------------------
+def duplicate_ngram_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Exact substring-level dedup (the "Deduplicating Training Data
+    Makes Language Models Better" / ExactSubstr shape, at token
+    granularity): any k-token window whose corpus-wide occurrence
+    count exceeds ``max_freq`` is a duplicated passage; every token
+    covered by such a window is removed EXCEPT in the window's first
+    document (min doc_id — keep-first, matching dedup_exact's rule),
+    and each document is reassembled from its surviving tokens.
+
+    Output is tokenized text (single-space joined): substring removal
+    is defined over the token stream, not raw whitespace. Returns
+    (doc_id, n_tokens, n_removed, text).
+
+    Scale shape: one shuffle to count k-gram hashes (60-bit md5 keys,
+    never raw strings), one occurrence->count join keyed the same
+    way, then a per-doc window pass: a token at position p is covered
+    iff some removable window starts in [p-k+1, p], computed with a
+    rows-between running max — no interval explosion. Reassembly is
+    one groupBy(doc_id). AQE handles hot-k-gram skew.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    # k-gram hash at each window start (empty when n < k; guard the
+    # descending-sequence trap)
+    khs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: _h64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select("doc_id", toks.alias("tk"), khs.alias("khs"))
+    occ = base.select(
+        "doc_id", F.posexplode("khs").alias("pos", "kh")
+    )
+    stats = occ.groupBy("kh").agg(
+        F.count(F.lit(1)).alias("freq"), F.min("doc_id").alias("first_doc")
+    )
+    rem = occ.join(stats, "kh").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("freq") > max_freq) & (F.col("doc_id") != F.col("first_doc"))
+        ).alias("rm"),
+    )
+    tok_rows = base.select(
+        "doc_id", F.posexplode("tk").alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), 0)
+    )
+    covered = (
+        tok_rows.join(rem, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cov",
+            F.coalesce(F.max(F.col("rm").cast("int")).over(w), F.lit(0)) == 1,
+        )
+    )
+    return covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("cov").cast("bigint")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("cov"), F.struct(F.col("pos"), F.col("tok")))
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("text"),
+    )

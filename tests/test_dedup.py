@@ -247,3 +247,24 @@ def test_paragraph_dedup_custom_sep(spark):
     out = {r.doc_id: r for r in paragraph_dedup(df, min_len=20, sep="|").collect()}
     assert out[1].n_dropped == 0
     assert out[2].n_dropped == 2 and out[2].text == ""
+
+
+def test_duplicate_ngram_scrub_removes_copied_passage(spark):
+    """A passage copied into a later doc is scrubbed there (keep-first),
+    the copying doc's OWN text survives, internal repetition within
+    the first doc is preserved, and unique docs are untouched."""
+    from eynollah_spark.operators.dedup import duplicate_ngram_scrub
+
+    passage = " ".join(f"p{i}" for i in range(10))  # 10-token passage
+    own = " ".join(f"own{i}" for i in range(12))
+    uniq = " ".join(f"u{i}" for i in range(15))
+    rows = [
+        (1, passage + " " + passage),  # internal repetition, first doc
+        (2, own + " " + passage),      # copies the passage
+        (3, uniq),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in duplicate_ngram_scrub(docs, k=8).collect()}
+    assert got[1].n_removed == 0 and got[1].text == passage + " " + passage
+    assert got[2].n_removed == 10 and got[2].text == own
+    assert got[3].n_removed == 0 and got[3].text == uniq
