@@ -69,6 +69,7 @@ MINHASH_BANDS = 4
 CLUSTER_T = 0.5  # near-dup clustering jaccard threshold
 SIMHASH_MAX_DIST = 8
 SUBSTR_K = 8  # duplicate-substring scrub window (tokens)
+CURATION_LM_MAX = 4.62  # bigram-LM cross-entropy cap (bits), ~p90 at sf0.01
 SUBSTR_MAXF = 1  # windows seen more than this often are duplicates
 SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
 SIMHASH_MAX_BAND_FREQ = 1000  # per-band hot-bucket cap (skew guard)
@@ -707,6 +708,54 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
 
 
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_full plus the two model-based gates (the shape of a
+    modern pretraining pipeline's filtering stack): the bigram-LM
+    cross-entropy cap (CCNet perplexity filter analog) and the hashed
+    linear classifier keep gate (fastText filter analog). Both gates
+    are scan-side aggregations/joins; the dedup chain downstream is
+    unchanged."""
+    from eynollah_spark.operators.text_analysis import (
+        bigram_lm_scores,
+        contamination_check,
+        hashed_classifier_scores,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = (
+        quality_features(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "text")
+    )
+    rep_ok = repetition_stats(docs).filter(
+        (F.col("dup_token_ratio") <= CURATION_DUP_RATIO_MAX)
+        & (F.col("top_bigram_frac") <= CURATION_TOP_BG_MAX)
+    ).select("doc_id")
+    pii_ok = pii_scrub(docs).filter(
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0
+    ).select("doc_id")
+    lm_ok = bigram_lm_scores(docs).filter(
+        F.col("xent_bits") <= CURATION_LM_MAX
+    ).select("doc_id")
+    clf_ok = hashed_classifier_scores(docs).filter(F.col("keep")).select("doc_id")
+    gated = (
+        q.join(rep_ok, "doc_id")
+        .join(pii_ok, "doc_id")
+        .join(lm_ok, "doc_id")
+        .join(clf_ok, "doc_id")
+    )
+    kept = dedup_exact(gated).select("doc_id", "text")
+    near = ngram_jaccard_pairs(kept, k=JACCARD_K, threshold=0.5).select("doc_b")
+    deduped = kept.join(near, kept.doc_id == near.doc_b, "left_anti")
+    bench = docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+    contaminated = contamination_check(deduped, bench, k=CONTAM_K).select(
+        "doc_id"
+    ).distinct()
+    return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
+
+
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(transcripts_from_documents(spark, sf_dir))
 
@@ -838,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_scrub": _q_substring_scrub,
         "curation_survivors": _q_curation_survivors,
         "curation_full": _q_curation_full,
+        "curation_v2": _q_curation_v2,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1672,8 +1722,11 @@ SELECT doc_id FROM kept
 WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
 """
 
-    sql["curation_full"] = f"""
-WITH rep AS (
+    def _curation_sql(gate_ctes: str, gate_joins: str) -> str:
+        """curation_full body, parameterized so curation_v2 composes
+        extra model-gate CTEs/joins without duplicating the SQL."""
+        return f"""
+WITH {gate_ctes}rep AS (
   SELECT doc_id FROM (
     SELECT doc_id,
            CAST(len(tk) AS INT) AS n_tokens,
@@ -1706,7 +1759,7 @@ q AS (
                  + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
                  6) AS qs
     FROM documents) d
-  JOIN rep USING (doc_id) JOIN pii USING (doc_id)
+  JOIN rep USING (doc_id) JOIN pii USING (doc_id){gate_joins}
   WHERE d.qs >= 0.5
 ),
 kept AS (
@@ -1772,6 +1825,63 @@ contam AS (
 SELECT doc_id FROM deduped
 WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = deduped.doc_id)
 """
+
+    sql["curation_full"] = _curation_sql("", "")
+
+    # curation_v2 = curation_full + the two model gates: bigram-LM
+    # cross-entropy cap (drops the most surprising/gibberish tail)
+    # and the hashed linear classifier keep gate. CTE names are
+    # prefixed to avoid colliding with the template's.
+    v2_kh = _h64sql("p.bg")
+    v2_ph = _h64sql("p.pre")
+    v2_wh = _h64sql("('w:' || CAST(i AS VARCHAR))")
+    v2_th = _h64sql("tok")
+    v2_gates = f"""lmtk2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+),
+lmocc AS (
+  SELECT doc_id, {v2_kh} AS bh, {v2_ph} AS ph FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - 1, 0)),
+             i -> struct_pack(bg := tk[i+1] || ' ' || tk[i+2],
+                              pre := tk[i+1]))) AS p
+    FROM lmtk2)
+),
+lmcb AS (SELECT bh, count(*) AS c_big FROM lmocc GROUP BY bh),
+lmcp AS (SELECT ph, count(*) AS c_pre FROM lmocc GROUP BY ph),
+lmvv AS (SELECT count(DISTINCT ph) AS v FROM lmocc),
+lmok AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(avg(length(bin(c_pre + v)) - length(bin(c_big + 1))), 4)
+             AS xent_bits
+    FROM lmocc JOIN lmcb USING (bh) JOIN lmcp USING (ph) CROSS JOIN lmvv
+    GROUP BY doc_id)
+  WHERE xent_bits <= {CURATION_LM_MAX}
+),
+clfw AS (
+  SELECT i AS bucket, ({v2_wh} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(65536)) AS i)
+),
+clfok AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id, avg(clfw.w) AS lg FROM (
+      SELECT doc_id, {v2_th} % 65536 AS bucket
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0)) AS tok
+            FROM documents)) t
+    JOIN clfw USING (bucket) GROUP BY t.doc_id)
+  WHERE lg > 0
+),
+"""
+    sql["curation_v2"] = _curation_sql(
+        v2_gates, " JOIN lmok USING (doc_id) JOIN clfok USING (doc_id)"
+    )
 
     # exact duplicate-substring scrub (mirror of duplicate_ngram_scrub)
     sub_kh = _h64sql(f"array_to_string(tk[i+1 : i+{SUBSTR_K}], ' ')")
