@@ -149,6 +149,27 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture stats for sampling-weight design: per source,
+    document and token totals plus the token share of the corpus
+    (two tiny aggregations + a broadcast 1-row total)."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+        )
+    )
+
+
 def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.text_analysis import bigram_lm_scores
 
@@ -869,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "source_mix": _q_source_mix,
         "lm_quality": _q_lm_quality,
         "classifier_filter": _q_classifier_filter,
         "doc_fingerprint": _q_fingerprint,
@@ -1384,6 +1406,18 @@ SELECT doc_id,
              + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
              6) AS quality_score
 FROM documents
+"""
+
+    sql["source_mix"] = f"""
+WITH smper AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST({n_ws} AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+smtot AS (SELECT sum(n_tokens) AS tot FROM smper)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share
+FROM smper CROSS JOIN smtot
 """
 
     # quantized bigram-LM cross-entropy (mirror of bigram_lm_scores):

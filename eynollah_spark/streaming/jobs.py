@@ -269,3 +269,40 @@ def stream_extract_spans(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_filter(docs: DataFrame, buckets: int = 1 << 16) -> DataFrame:
+    """Streaming quality gate: the hashed linear classifier
+    (operators/text_analysis.hashed_classifier_scores) applied
+    in-flight — per-ROW logit via the same md5-derived bucket weights,
+    computed as a pure column expression (no stream-static join
+    needed: the weight of a bucket is a deterministic function of the
+    bucket id, so the whole gate is stateless and composes with any
+    downstream watermarked operator). Keeps documents whose mean
+    bucket weight is positive; tokenless documents are dropped.
+
+    Batch-parity: for every doc with tokens, the kept set equals
+    hashed_classifier_scores(...).filter('keep') — asserted in
+    tests/test_streaming.py."""
+    from eynollah_spark.operators.dedup import _h64
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    # weight(tok) inlined: the classifier's broadcast dim is a
+    # deterministic function bucket -> weight, so streaming evaluates
+    # it row-locally
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (
+                _h64(F.concat(F.lit("w:"), (_h64(t) % buckets).cast("string")))
+                % 2001
+            )
+            - 1000,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    n = F.size(toks)
+    return docs.filter((n > 0) & (wsum > 0))

@@ -291,3 +291,38 @@ def test_stream_near_dup_docs(spark, tmp_path):
     survivors = {r.doc_id for r in got}
     assert len(survivors & {1, 2}) == 1
     assert 4 in survivors
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """The in-flight classifier gate must keep exactly the docs the
+    batch classifier keeps (and drop tokenless ones)."""
+    import datetime
+
+    from eynollah_spark.operators.text_analysis import hashed_classifier_scores
+    from eynollah_spark.streaming.jobs import stream_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [(r.doc_id, r.text, ts) for r in docs.collect()] + [(99_999, "   ", ts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    q = (
+        stream_quality_filter(src)
+        .writeStream.format("memory")
+        .queryName("quality_filter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select doc_id from quality_filter").collect()}
+    want = {
+        r.doc_id
+        for r in hashed_classifier_scores(df.drop("ts")).filter("keep").collect()
+    }
+    assert got == want
+    assert 99_999 not in got
