@@ -120,3 +120,39 @@ def test_kmeans_init_distributed_and_assignment_broadcast(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_classifier_broadcasts_weight_dim(spark):
+    """The hashed classifier's (bucket, weight) table is a bounded dim
+    — its join must be broadcast, never a shuffled sort-merge."""
+    from eynollah_spark.operators.text_analysis import hashed_classifier_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hashed_classifier_scores(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_scores_no_cartesian_no_raw_string_shuffle(spark):
+    """bigram_lm_scores: the vocab scalar rides a broadcast nested-loop
+    (1-row), never a CartesianProduct; count joins shuffle on the
+    60-bit hash keys, not raw bigram strings."""
+    from eynollah_spark.operators.text_analysis import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bigram_lm_scores(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(bh" in plan and "hashpartitioning(ph" in plan
+
+
+def test_substring_scrub_shuffles_on_hash_keys(spark):
+    """duplicate_ngram_scrub: k-gram stats shuffle on the hash key and
+    coverage is a windowed running max per doc — no self-join blowup,
+    no cartesian."""
+    from eynollah_spark.operators.dedup import duplicate_ngram_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_ngram_scrub(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(kh" in plan
+    assert "specifiedwindowframe(RowFrame" in plan or "Window" in plan
