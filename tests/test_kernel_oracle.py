@@ -794,3 +794,36 @@ def test_choose_shear_batch_matches_scalar(seed):
         assert g is not None
         assert g[0] == s[0] and g[1] == s[1]
         assert np.array_equal(g[2], s[2])
+
+
+def test_page_union_chunk_batching_matches_single_page():
+    """The batched §6p page-union profiles key chunks by page slot and
+    width; pages of DIFFERENT widths sharing one chunk must emit
+    byte-identically to processing each page in its own batch."""
+    import pandas as pd
+
+    col2_narrow = "\n".join(
+        ["alpha%02d   beta%02d" % (i, i) for i in range(8)]
+    )
+    col2_wide = "\n".join(
+        ["gamma%02d word%02d        delta%02d extra%02d" % (i, i, i, i) for i in range(9)]
+    )
+    simple = "\n".join(["just a plain line %d" % i for i in range(5)])
+    # two text blocks per page so n_text_blocks >= 2 gates the union
+    pages = [
+        col2_narrow + "\n\n\n" + col2_narrow,
+        col2_wide + "\n\n\n" + col2_wide,
+        simple,
+    ]
+    rows = [("c%d" % i, 0, "user", t) for i, t in enumerate(pages)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    batched = analyze_turns_batch(pdf).sort_values(
+        ["conv_id", "turn_idx", "span_idx"]
+    ).reset_index(drop=True)
+    singles = pd.concat(
+        [analyze_turns_batch(pdf.iloc[[i]]) for i in range(len(pdf))],
+        ignore_index=True,
+    ).sort_values(["conv_id", "turn_idx", "span_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(batched, singles)
+    # the fixture really exercises the column path
+    assert (batched.groupby("conv_id")["region_seq"].nunique() > 1).any()
