@@ -801,6 +801,44 @@ def _q_extract_spans_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_e2e_extract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END flagship with a full SQL oracle: transcripts ->
+    simple-mode span extraction -> main-content reassembly per
+    conversation (text+header spans in reading order, boilerplate/
+    tool/separator spans dropped) -> quality gate. The whole journey —
+    layout analysis to curated training text — is ONE declarative
+    plan: scan -> narrow kernel -> one conv_id exchange -> windows ->
+    filter -> reassembly groupBy -> scan-side quality columns."""
+    from eynollah_spark.config import ExtractConfig
+
+    spans = extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=1, small_fragment_max_len=0),
+    )
+    main = (
+        spans.filter(F.col("region_type").isin("text", "header"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("reading_order", "text"))
+                    ),
+                    lambda s: s.getField("text"),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return quality_features(main).select(
+        "conv_id",
+        "n_spans",
+        "quality_score",
+        (F.col("quality_score") >= 0.5).alias("keep"),
+    )
+
+
 def _q_extract_spans_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction family with an EXACT SQL oracle: in
     'simple mode' (max_columns=1 -> no column splits/deskew effects/
@@ -934,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equality is gated by the fixture pytest suite
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
+        "e2e_extract_curate": _q_e2e_extract_curate,
         "extract_spans_tables_simple": _q_extract_spans_tables_simple,
         "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
         "page_diags_simple": _q_page_diags_simple,
@@ -2680,6 +2719,29 @@ SELECT conv_id,
 FROM withreg
 """
     sql["extract_spans_simple"] = _simple_prefix(False) + _spans_final
+
+    # end-to-end: simple-mode extraction -> main-content reassembly ->
+    # quality gate, as one nested query over the spans oracle (the
+    # quality fragments are the same n_ws/n_chars/n_punct/n_stop
+    # expressions the standalone quality oracle uses, applied to the
+    # reassembled text)
+    sql["e2e_extract_curate"] = f"""
+SELECT conv_id, n_spans,
+       round(least({n_ws} / 100.0, 1.0) * 0.4
+             + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+             + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+             6) AS quality_score,
+       round(least({n_ws} / 100.0, 1.0) * 0.4
+             + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+             + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+             6) >= 0.5 AS keep
+FROM (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_spans,
+         string_agg(text, chr(10) ORDER BY reading_order) AS text
+  FROM ({_simple_prefix(False) + _spans_final}) es
+  WHERE region_type IN ('text', 'header')
+  GROUP BY conv_id)
+"""
     # tables variant (-tab in simple mode): table classification, run
     # grouping and §12 fusion live in the same CTE chain. NOTE: a
     # separator line is single-token through the 8-token wrap, so the
