@@ -615,7 +615,9 @@ def duplicate_ngram_scrub(
 
     Output is tokenized text (single-space joined): substring removal
     is defined over the token stream, not raw whitespace. Returns
-    (doc_id, n_tokens, n_removed, text).
+    (doc_id, n_tokens, n_removed, text); documents with NO tokens
+    (empty/whitespace-only) have no token stream and are absent from
+    the output — the oracle mirrors this.
 
     Scale shape: one shuffle to count k-gram hashes (60-bit md5 keys,
     never raw strings), one occurrence->count join keyed the same
