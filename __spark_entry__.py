@@ -665,6 +665,34 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality probe: recall@k of the two approximate indexes
+    (IVF and multi-table hyperplane LSH) against the brute-force
+    ground truth, per index — the evaluation loop an ANN deployment
+    runs before trusting an index at corpus scale. One row per index:
+    (index_name, recall_at_k, n_pairs)."""
+    truth = _q_topk(spark, sf_dir).select("query_id", "vec_id")
+    out = None
+    for name, qfn in (("ivf", _q_ann_ivf_topk), ("lsh", _q_ann_lsh_topk)):
+        approx = qfn(spark, sf_dir).select(
+            "query_id", "vec_id", F.lit(1).alias("_hit")
+        )
+        r = (
+            truth.join(approx, ["query_id", "vec_id"], "left")
+            .agg(
+                F.lit(name).alias("index_name"),
+                F.round(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_k"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def _q_extract_spans_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_salted(
         transcripts_from_documents(spark, sf_dir), salt_buckets=8
@@ -959,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall": _q_ann_recall,
         "kmeans_embeddings": _q_kmeans,
         "semdedup": _q_semdedup,
         # S2 metadata probe (check_dpi analog)
@@ -2306,6 +2335,25 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s)
 WHERE rk <= {TOPK_K}
+"""
+
+    # ann_recall: recall@k of each approximate index vs brute force —
+    # composes the three existing oracle bodies as subqueries
+    sql["ann_recall"] = f"""
+WITH tr AS (SELECT query_id, vec_id FROM ({sql["embedding_topk"]})),
+aivf AS (SELECT query_id, vec_id FROM ({sql["ann_ivf_topk"]})),
+alsh AS (SELECT query_id, vec_id FROM ({sql["ann_lsh_topk"]}))
+SELECT 'ivf' AS index_name,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS recall_at_k,
+       count(*) AS n_pairs
+FROM tr LEFT JOIN aivf i USING (query_id, vec_id)
+UNION ALL
+SELECT 'lsh',
+       round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6),
+       count(*)
+FROM tr LEFT JOIN alsh l USING (query_id, vec_id)
 """
 
     # kmeans_embeddings: Lloyd iterations unrolled. Exactness design
