@@ -757,13 +757,11 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
 
 
-def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """curation_full plus the two model-based gates (the shape of a
-    modern pretraining pipeline's filtering stack): the bigram-LM
-    cross-entropy cap (CCNet perplexity filter analog) and the hashed
-    linear classifier keep gate (fastText filter analog). Both gates
-    are scan-side aggregations/joins; the dedup chain downstream is
-    unchanged."""
+def _curation_v2_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage frames of the v2 curation flow, shared by the survivor
+    query and the funnel: the bigram-LM cross-entropy cap (CCNet
+    perplexity filter analog) and the hashed linear classifier keep
+    gate (fastText filter analog) on top of curation_full's chain."""
     from eynollah_spark.operators.text_analysis import (
         bigram_lm_scores,
         contamination_check,
@@ -802,7 +800,47 @@ def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = contamination_check(deduped, bench, k=CONTAM_K).select(
         "doc_id"
     ).distinct()
-    return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
+    final = deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
+    return {
+        "docs": docs,
+        "rep_ok": rep_ok,
+        "pii_ok": pii_ok,
+        "lm_ok": lm_ok,
+        "clf_ok": clf_ok,
+        "gated": gated,
+        "kept": kept,
+        "deduped": deduped,
+        "final": final,
+    }
+
+
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_full plus the two model-based gates (the shape of a
+    modern pretraining pipeline's filtering stack)."""
+    return _curation_v2_stages(spark, sf_dir)["final"]
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate survivor counts over the v2 chain — the funnel every
+    curation pipeline reports (one row; each count a broadcast 1-row
+    aggregate crossJoined in)."""
+    s = _curation_v2_stages(spark, sf_dir)
+    counts = [
+        ("n_input", s["docs"]),
+        ("n_repetition_ok", s["rep_ok"]),
+        ("n_pii_ok", s["pii_ok"]),
+        ("n_lm_ok", s["lm_ok"]),
+        ("n_classifier_ok", s["clf_ok"]),
+        ("n_all_gates", s["gated"]),
+        ("n_after_exact", s["kept"]),
+        ("n_after_near_dup", s["deduped"]),
+        ("n_final", s["final"]),
+    ]
+    out = None
+    for name, frame in counts:
+        c = frame.agg(F.count(F.lit(1)).alias(name))
+        out = c if out is None else out.crossJoin(F.broadcast(c))
+    return out
 
 
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_survivors": _q_curation_survivors,
         "curation_full": _q_curation_full,
         "curation_v2": _q_curation_v2,
+        "curation_funnel": _q_curation_funnel,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1824,9 +1863,12 @@ SELECT doc_id FROM kept
 WHERE NOT EXISTS (SELECT 1 FROM drop_b WHERE drop_b.doc_b = kept.doc_id)
 """
 
-    def _curation_sql(gate_ctes: str, gate_joins: str) -> str:
+    def _curation_sql(
+        gate_ctes: str, gate_joins: str, final_select: str | None = None
+    ) -> str:
         """curation_full body, parameterized so curation_v2 composes
-        extra model-gate CTEs/joins without duplicating the SQL."""
+        extra model-gate CTEs/joins — and the funnel swaps the final
+        select — without duplicating the SQL."""
         return f"""
 WITH {gate_ctes}rep AS (
   SELECT doc_id FROM (
@@ -1924,8 +1966,8 @@ contam AS (
   SELECT DISTINCT d.doc_id FROM shd8 d JOIN shb8 b USING (shingle)
   WHERE d.doc_id <> b.bench_id
 )
-SELECT doc_id FROM deduped
-WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = deduped.doc_id)
+{final_select if final_select is not None else '''SELECT doc_id FROM deduped
+WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = deduped.doc_id)'''}
 """
 
     sql["curation_full"] = _curation_sql("", "")
@@ -1983,6 +2025,26 @@ clfok AS (
 """
     sql["curation_v2"] = _curation_sql(
         v2_gates, " JOIN lmok USING (doc_id) JOIN clfok USING (doc_id)"
+    )
+
+    # per-gate survivor counts over the SAME CTE chain — the funnel
+    # every curation pipeline reports
+    sql["curation_funnel"] = _curation_sql(
+        v2_gates,
+        " JOIN lmok USING (doc_id) JOIN clfok USING (doc_id)",
+        final_select="""SELECT
+  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+  CAST((SELECT count(*) FROM rep) AS BIGINT) AS n_repetition_ok,
+  CAST((SELECT count(*) FROM pii) AS BIGINT) AS n_pii_ok,
+  CAST((SELECT count(*) FROM lmok) AS BIGINT) AS n_lm_ok,
+  CAST((SELECT count(*) FROM clfok) AS BIGINT) AS n_classifier_ok,
+  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_all_gates,
+  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_after_exact,
+  CAST((SELECT count(*) FROM deduped) AS BIGINT) AS n_after_near_dup,
+  CAST((SELECT count(*) FROM deduped d
+        WHERE NOT EXISTS (SELECT 1 FROM contam
+                          WHERE contam.doc_id = d.doc_id)) AS BIGINT)
+    AS n_final""",
     )
 
     # exact duplicate-substring scrub (mirror of duplicate_ngram_scrub)
