@@ -508,6 +508,115 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(e, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE)
 
 
+PQ_M = 4  # subspaces: EMB_DIM/PQ_M = 16-dim subvectors
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for the embeddings table: one
+    deterministic Lloyd codebook per 16-dim subspace, integer-exact
+    reconstruction quality per vector."""
+    from eynollah_spark.operators.similarity import pq_codes
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(
+        e, dim=EMB_DIM, m=PQ_M, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+
+
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-k (full-precision query vs PQ
+    reconstructions) — the compressed-index ANN path."""
+    from eynollah_spark.operators.similarity import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = pq_topk(
+        e,
+        q,
+        dim=EMB_DIM,
+        m=PQ_M,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        k_results=TOPK_K,
+        scale=KMEANS_SCALE,
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
+DSIR_N = 100
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: select DSIR_N docs whose hashed
+    unigram+bigram distribution looks like the English subset."""
+    from eynollah_spark.operators.sampling import dsir_select
+
+    d = _docs(spark, sf_dir)
+    out = dsir_select(
+        d,
+        d.filter(F.col("lang") == DSIR_TARGET_LANG),
+        n_select=DSIR_N,
+        n_buckets=DSIR_BUCKETS,
+    )
+    return out.select(
+        "doc_id", "logw_e6", "key_e6", F.col("rank").cast("int").alias("rank")
+    )
+
+
+INC_MOD = 5  # every 5th doc (by id hash) forms the "new snapshot"
+INC_PLANT_N = 15
+INC_EXACT_OFFSET = 1_000_000
+INC_NEAR_OFFSET = 2_000_000
+INC_NEAR_SUFFIX = " zz qq"
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: a hash-selected 1/5 of documents plays
+    the fresh crawl snapshot, the rest the existing index. Planted
+    copies of low-id index docs (exact, and near with a 2-token
+    suffix) make both dup gates bite deterministically — the raw
+    corpus need not contain cross-split duplicates."""
+    from eynollah_spark.operators.dedup import incremental_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    is_new = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(INC_MOD),
+        )
+        == 0
+    )
+    idx = d.filter(~is_new)
+    low = idx.filter(F.col("doc_id") < INC_PLANT_N)
+    new = (
+        d.filter(is_new)
+        .unionByName(
+            low.select(
+                (F.col("doc_id") + INC_EXACT_OFFSET).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            low.select(
+                (F.col("doc_id") + INC_NEAR_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(INC_NEAR_SUFFIX)).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup(new, idx, threshold=JACCARD_T)
+
+
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_turn_metadata(
         transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
@@ -1007,8 +1116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "stratified_sample": _q_stratified_sample,
         "per_source_quota": _q_per_source_quota,
+        "dsir_select": _q_dsir_select,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "incremental_dedup": _q_incremental_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
         "curation_survivors": _q_curation_survivors,
@@ -1026,8 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "ann_recall": _q_ann_recall,
         "kmeans_embeddings": _q_kmeans,
+        "pq_codes": _q_pq_codes,
         "semdedup": _q_semdedup,
         # S2 metadata probe (check_dpi analog)
         "probe_metadata": _q_probe_metadata,
@@ -2423,19 +2536,22 @@ FROM tr LEFT JOIN alsh l USING (query_id, vec_id)
     # components, centroids as INTEGER SUM vectors (cosine is
     # scale-invariant so the mean's division never happens), dot/norm
     # folds exact integer -> double conversions are bit-identical.
-    _kcos = (
-        "coalesce(CAST(list_sum(list_transform(range({d}), j -> e.v[j+1] * c.cvec[j+1])) AS DOUBLE)"
-        " / (sqrt(CAST(list_sum(list_transform(range({d}), j -> e.v[j+1] * e.v[j+1])) AS DOUBLE))"
-        " * sqrt(CAST(list_sum(list_transform(range({d}), j -> c.cvec[j+1] * c.cvec[j+1])) AS DOUBLE))), -2.0)"
-    ).format(d=EMB_DIM)
+    def _kcos_d(d: int, av: str = "e.v", bv: str = "c.cvec") -> str:
+        return (
+            f"coalesce(CAST(list_sum(list_transform(range({d}), j -> {av}[j+1] * {bv}[j+1])) AS DOUBLE)"
+            f" / (sqrt(CAST(list_sum(list_transform(range({d}), j -> {av}[j+1] * {av}[j+1])) AS DOUBLE))"
+            f" * sqrt(CAST(list_sum(list_transform(range({d}), j -> {bv}[j+1] * {bv}[j+1])) AS DOUBLE))), -2.0)"
+        )
 
-    def _k_assign(src_c: str) -> str:
+    _kcos = _kcos_d(EMB_DIM)
+
+    def _k_assign(src_c: str, src_e: str = "ei", d: int = EMB_DIM) -> str:
         return f"""
   SELECT vec_id, v, centroid_id, cos FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY cos DESC, centroid_id ASC) AS rn
-    FROM (SELECT e.vec_id, e.v, c.centroid_id, {_kcos} AS cos
-          FROM ei e, {src_c} c))
+    FROM (SELECT e.vec_id, e.v, c.centroid_id, {_kcos_d(d)} AS cos
+          FROM {src_e} e, {src_c} c))
   WHERE rn = 1
 """
 
@@ -2525,6 +2641,214 @@ SELECT a2.vec_id, a2.centroid_id,
        CAST(count(*) OVER (PARTITION BY a2.centroid_id) AS BIGINT) AS cluster_size,
        (d.vec_id IS NULL) AS kept
 FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+"""
+
+    # pq_codes / ann_pq_topk: per-subspace Lloyd chains (the kmeans
+    # oracle pattern over 16-dim slices), integer mean reconstruction
+    # (one correctly-rounded double division per component), exact
+    # int64 cosine folds for recon quality and ADC scores.
+    _pq_sub = EMB_DIM // PQ_M
+    _pq_blocks = []
+    for s in range(PQ_M):
+        lo, hi = s * _pq_sub + 1, (s + 1) * _pq_sub
+        _pq_blocks.append(f"""
+e{s} AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}],
+             x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+r{s} AS (
+  SELECT vec_id, v,
+         CAST(('0x' || substring(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM e{s}
+),
+c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS centroid_id,
+         v AS cvec
+  FROM (SELECT * FROM r{s} ORDER BY h, vec_id LIMIT {KMEANS_K})
+),
+a0_{s} AS ({_k_assign(f'c0_{s}', f'e{s}', _pq_sub)}),
+c1_{s} AS ({_k_sums(f'a0_{s}')}),
+a1_{s} AS ({_k_assign(f'c1_{s}', f'e{s}', _pq_sub)}),
+c2_{s} AS ({_k_sums(f'a1_{s}')}),
+a2_{s} AS ({_k_assign(f'c2_{s}', f'e{s}', _pq_sub)}),
+sz_{s} AS (SELECT centroid_id, count(*) AS n FROM a1_{s} GROUP BY 1),
+rc_{s} AS (
+  SELECT c.centroid_id,
+         list_transform(c.cvec,
+             x -> CAST(round(CAST(x AS DOUBLE) / z.n) AS BIGINT)) AS rvec
+  FROM c2_{s} c JOIN sz_{s} z USING (centroid_id)
+),
+pc_{s} AS (
+  SELECT a.vec_id, a.centroid_id AS code, r.rvec
+  FROM a2_{s} a JOIN rc_{s} r USING (centroid_id)
+)""")
+    _pq_code_cols = ", ".join(f"pc_{s}.code AS code{s}" for s in range(PQ_M))
+    _pq_joins = "\n  ".join(
+        f"JOIN pc_{s} ON pc_{s}.vec_id = e.vec_id" for s in range(PQ_M)
+    )
+    _pq_rfull = "pc_0.rvec"
+    for s in range(1, PQ_M):
+        _pq_rfull = f"list_concat({_pq_rfull}, pc_{s}.rvec)"
+    _pq_common = ",".join(_pq_blocks) + f""",
+ef AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+recon AS (
+  SELECT e.vec_id, {_pq_code_cols}, e.v AS v, {_pq_rfull} AS rvec
+  FROM ef e
+  {_pq_joins}
+)"""
+
+    sql["pq_codes"] = f"""
+WITH {_pq_common}
+SELECT vec_id, {", ".join(f"code{s}" for s in range(PQ_M))},
+       round({_kcos_d(EMB_DIM, 'v', 'rvec')}, 6) AS recon_cosine
+FROM recon
+"""
+
+    sql["ann_pq_topk"] = f"""
+WITH {_pq_common},
+q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+s AS (
+  SELECT q.query_id, r.vec_id,
+         round({_kcos_d(EMB_DIM, 'q.qv', 'r.rvec')}, 6) AS score
+  FROM recon r, q WHERE r.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, score, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rk
+  FROM s)
+WHERE rk <= {TOPK_K}
+"""
+
+    # dsir_select: bucket histograms + add-one-smoothed log-likelihood
+    # ratio quantized to 1e-6 BIGINTs (exact int64 per-doc folds), md5
+    # Gumbel keys, top-N.
+    sql["dsir_select"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END)) AS feat
+  FROM tk
+),
+fb AS (
+  SELECT doc_id, {_h64sql("'dsir:' || feat")} % {DSIR_BUCKETS} AS bucket
+  FROM feats
+),
+tgt AS (
+  SELECT fb.doc_id, fb.bucket FROM fb
+  JOIN documents d ON fb.doc_id = d.doc_id WHERE d.lang = '{DSIR_TARGET_LANG}'
+),
+rc AS (SELECT bucket, count(*) AS r FROM fb GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS t FROM tgt GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM fb) AS rtot, (SELECT count(*) FROM tgt) AS ttot),
+lr AS (
+  SELECT bucket,
+         CAST(round(1e6 * ln(
+             CAST((coalesce(t, 0) + 1) * (rtot + {DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((r + 1) * (ttot + {DSIR_BUCKETS}) AS DOUBLE))) AS BIGINT) AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+),
+dc AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+lw AS (SELECT doc_id, CAST(sum(c * lr) AS BIGINT) AS logw_e6
+       FROM dc JOIN lr USING (bucket) GROUP BY 1),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(lw.logw_e6, 0) AS BIGINT) AS logw_e6,
+         CAST(coalesce(lw.logw_e6, 0) AS BIGINT)
+           + CAST(round(1e6 * -ln(-ln(
+               (({_h64sql("'gumbel:' || CAST(d.doc_id AS VARCHAR)")} % 1000000) + 0.5)
+               / 1e6))) AS BIGINT) AS key_e6
+  FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id
+)
+SELECT doc_id, logw_e6, key_e6,
+       CAST(row_number() OVER (ORDER BY key_e6 DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY key_e6 DESC, doc_id ASC LIMIT {DSIR_N}
+"""
+
+    # incremental_dedup: asymmetric new-vs-index exact + MinHash-LSH
+    # gates over the plant-augmented corpus (mirror of
+    # _q_incremental_dedup + operators/dedup.incremental_dedup).
+    sql["incremental_dedup"] = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         {_h64sql("'inc:' || CAST(doc_id AS VARCHAR)")} % {INC_MOD} = 0 AS isnew
+  FROM documents
+),
+idx AS (SELECT doc_id, text FROM split WHERE NOT isnew),
+newd AS (
+  SELECT doc_id, text FROM split WHERE isnew
+  UNION ALL
+  SELECT doc_id + {INC_EXACT_OFFSET}, text FROM idx WHERE doc_id < {INC_PLANT_N}
+  UNION ALL
+  SELECT doc_id + {INC_NEAR_OFFSET}, text || '{INC_NEAR_SUFFIX}'
+  FROM idx WHERE doc_id < {INC_PLANT_N}
+),
+alld AS (SELECT * FROM newd UNION ALL SELECT * FROM idx),
+ish AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(greatest(len(tk) - 3, 0) + 1),
+             i -> array_to_string(tk[i+1 : i+3], ' '))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM alld)
+  ) WHERE length(shingle) > 0
+),
+imhb AS (SELECT doc_id, {_h64sql("shingle")} AS hb FROM ish),
+imh AS (
+  SELECT doc_id, p.i, min({minhash_mix}) AS h
+  FROM imhb, (VALUES {perm_rows}) AS p(i, k, r)
+  GROUP BY doc_id, p.i
+),
+ibands AS (
+  SELECT doc_id, i // {MINHASH_N // MINHASH_BANDS} AS band,
+         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bsig
+  FROM imh GROUP BY doc_id, i // {MINHASH_N // MINHASH_BANDS}
+),
+nb AS (SELECT b.* FROM ibands b JOIN newd n USING (doc_id)),
+ib AS (SELECT b.* FROM ibands b JOIN idx x USING (doc_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM nb a JOIN ib b ON a.band = b.band AND a.bsig = b.bsig
+),
+isz AS (SELECT doc_id, count(*) AS n_sh FROM ish GROUP BY doc_id),
+vint AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN ish a ON a.doc_id = c.doc_a
+  JOIN ish b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT doc_a AS doc_id
+  FROM vint
+  JOIN isz sa ON sa.doc_id = vint.doc_a
+  JOIN isz sb ON sb.doc_id = vint.doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {JACCARD_T}
+),
+ex AS (
+  SELECT DISTINCT n.doc_id FROM newd n
+  JOIN (SELECT DISTINCT md5(text) AS th FROM idx) i ON md5(n.text) = i.th
+)
+SELECT n.doc_id,
+       (e.doc_id IS NOT NULL) AS dup_exact,
+       (nr.doc_id IS NOT NULL) AS dup_near,
+       (e.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
+FROM newd n LEFT JOIN ex e USING (doc_id) LEFT JOIN near nr USING (doc_id)
 """
 
     sql["probe_metadata"] = f"""

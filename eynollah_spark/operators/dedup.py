@@ -189,22 +189,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with exact Jaccard.
-
-    shingle->minhash (map-side) -> explode bands -> shuffle on band
-    signature -> within-bucket self-join (tiny) -> exact verify join.
-    """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, k, num_hashes)
-    banded = sig.select(
+def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode a signature frame into (doc_id, n_sh, band, bsig) band
+    rows: bsig = md5 of the band's ``rows`` consecutive minhashes."""
+    return sig.select(
         "doc_id",
         "n_sh",
         F.explode(
@@ -219,31 +207,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "n_sh", "bs.band", "bs.bsig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .distinct()
-    )
-    # exact-Jaccard verification restricted to the candidate pairs:
-    # the shingle self-join runs only over docs that appear in some
-    # candidate (semi-joined), so verification cost scales with LSH
-    # bucket collisions, never with corpus^2. No forced broadcast of
-    # the candidate set: on a near-dup-heavy corpus a hot band makes
-    # candidates unbounded, so AQE decides broadcast-vs-shuffle from
-    # the measured size at runtime.
-    sh = word_shingles(df, text_col, k)
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    ``sh`` is the (doc_id, shingle) universe; ``cand`` carries
+    (doc_a, doc_b, n_a, n_b). The shingle join runs only over docs
+    that appear in some candidate (semi-joined), so verification cost
+    scales with LSH bucket collisions, never with corpus^2. No forced
+    broadcast of the candidate set: on a near-dup-heavy corpus a hot
+    band makes candidates unbounded, so AQE decides
+    broadcast-vs-shuffle from the measured size at runtime.
+    """
     docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     sh_a = sh.join(docs_a, "doc_id")
@@ -268,6 +244,121 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard.
+
+    shingle->minhash (map-side) -> explode bands -> shuffle on band
+    signature -> within-bucket self-join (tiny) -> exact verify join.
+    """
+    rows = num_hashes // bands
+    banded = _banded(minhash_signatures(df, text_col, k, num_hashes), bands, rows)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(word_shingles(df, text_col, k), cand, threshold)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot dedup: flag each NEW doc that duplicates the
+    existing INDEX corpus — the incremental-crawl shape (a fresh
+    snapshot arrives; only new-vs-index comparisons run, never
+    index-vs-index). Reference analog: the same dedup the batch
+    operators do, restricted to one asymmetric frontier.
+
+    Two gates, both deterministic:
+    - ``dup_exact``: md5(text) left-semi join against the index's
+      distinct text hashes (one shuffle on the hash; the index side
+      aggregates to distinct hashes first, so a hot duplicate text in
+      the index costs one row).
+    - ``dup_near``: banded MinHash-LSH candidates joined new-band x
+      index-band (shuffle keyed on (band, bsig)), then exact-Jaccard
+      verification confined to candidates via ``_verify_jaccard``.
+
+    Scale posture: signatures for the index are computed per run here;
+    a production incremental pipeline would persist the index's
+    (band, bsig) table and hash set between snapshots — both are
+    exactly the frames this function derives, so the persisted form is
+    a checkpoint of this plan, not a different algorithm.
+
+    Returns one row per NEW doc: (doc_id, dup_exact, dup_near, kept).
+    """
+    rows = num_hashes // bands
+    exact = (
+        new_docs.select("doc_id", F.md5(F.col(text_col)).alias("_h"))
+        .join(
+            index_docs.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+            "_h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("dup_exact", F.lit(True))
+    )
+    bn = _banded(minhash_signatures(new_docs, text_col, k, num_hashes), bands, rows)
+    bi = _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows)
+    cand = (
+        bn.alias("a")
+        .join(
+            bi.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    sh = word_shingles(new_docs.unionByName(index_docs), text_col, k)
+    near = (
+        _verify_jaccard(sh, cand, threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_near", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            F.coalesce("dup_near", F.lit(False)).alias("dup_near"),
+            (F.col("dup_exact").isNull() & F.col("dup_near").isNull()).alias("kept"),
+        )
     )
 
 

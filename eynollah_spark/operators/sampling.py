@@ -23,6 +23,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from eynollah_spark.operators.dedup import _h64
+
 # decisions are uniform on [0, 1e6) — hash of the doc id, engine-portable
 # (same md5→bigint construction as the dedup family; DuckDB mirror:
 #  CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 1000000)
@@ -89,4 +91,125 @@ def per_group_quota(
         phase1.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= quota)
         .select(group_col, id_col, order_col, "rank")
+    )
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) feature MULTISET: lowercase whitespace tokens
+    plus word bigrams, hashed into ``n_buckets`` buckets via the same
+    portable md5 construction the dedup family uses. All JVM-side
+    (split/transform/explode); counts are preserved (no distinct) —
+    DSIR's bag-of-hashed-ngrams features."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        F.pmod(
+            _h64(F.concat(F.lit("dsir:"), F.col("feat"))), F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n_select: int = 100,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): select ``n_select`` docs from ``docs`` whose
+    hashed-ngram distribution looks like ``target`` (a small
+    high-quality subset, e.g. one language or one curated source),
+    via Gumbel-top-k sampling proportional to the importance weights.
+
+    Model fit = two ``n_buckets``-row bucket histograms (target and
+    raw), add-one smoothed; per-bucket log-likelihood-ratio is
+    quantized to a 1e-6-resolution BIGINT so the per-doc weight
+    ``logw_e6 = sum_b count_db * lr_e6[b]`` is an EXACT int64 fold —
+    order-free across partitions and engines (the only float op per
+    bucket is one ln over exact-integer ratios, shared with the
+    oracle). Gumbel keys come from md5(doc_id), so the "sample" is
+    deterministic and cluster-layout-independent.
+
+    Scale shape: feature explode is map-side; the two histograms
+    aggregate to ``n_buckets`` rows (partial agg before the exchange);
+    the lr table is a bounded broadcast (n_buckets rows, a constant);
+    per-doc weights are one groupBy(doc_id); selection is
+    orderBy().limit() -> TakeOrderedAndProject, no global sort.
+
+    Returns (doc_id, logw_e6, key_e6, rank) for the selected docs.
+    """
+    feats_raw = _hashed_features(docs, text_col, id_col, n_buckets)
+    feats_tgt = _hashed_features(target, text_col, id_col, n_buckets)
+    r_cnt = feats_raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("r"))
+    t_cnt = feats_tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("t"))
+    r_tot = r_cnt.agg(F.sum("r").alias("rtot"))
+    t_tot = t_cnt.agg(F.sum("t").alias("ttot"))
+    nb = F.lit(n_buckets).cast("bigint")
+    lr = (
+        r_cnt.join(t_cnt, "bucket", "left")
+        .fillna(0, ["t"])
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    ((F.col("t") + 1) * (F.col("rtot") + nb)).cast("double")
+                    / ((F.col("r") + 1) * (F.col("ttot") + nb)).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("lr_e6"),
+        )
+    )
+    dcnt = feats_raw.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    logw = (
+        dcnt.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr_e6")).alias("logw_e6"))
+    )
+    h = F.pmod(
+        _h64(F.concat(F.lit("gumbel:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    gumbel = F.round(
+        F.lit(1e6) * -F.log(-F.log((h.cast("double") + 0.5) / 1.0e6))
+    ).cast("bigint")
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(logw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logw_e6"), F.lit(0)).cast("bigint").alias("logw_e6"),
+            gumbel.alias("_g"),
+        )
+        .withColumn("key_e6", F.col("logw_e6") + F.col("_g"))
+    )
+    picked = scored.orderBy(F.desc("key_e6"), F.asc("doc_id")).limit(n_select)
+    return picked.select(
+        "doc_id",
+        "logw_e6",
+        "key_e6",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_e6"), F.asc("doc_id")))
+        .alias("rank"),
     )

@@ -345,6 +345,106 @@ def _int_cosine(a, b):
     )
 
 
+def _exact_guard(col, scale: int):
+    """Per-row lazy exactness guard IN THE VALUE PATH (a side column
+    would be pruned by Catalyst): |component| <= sqrt(2^61/dim)
+    guarantees every dim-length int64 fold of such components stays
+    under 2^61. Under ANSI (Spark 4 default) an overflow would already
+    error — this replaces the opaque ArithmeticException with an
+    actionable message. (The per-dimension SUM feeding a centroid is
+    itself safe: with |val| <= 2^27ish the long agg overflows only
+    past ~6e10 members in ONE cluster.)"""
+    lim = F.floor(F.sqrt(F.lit(float(1 << 61)) / F.size(col)))
+    ok = F.array_max(F.transform(col, lambda x: F.abs(x))) <= lim
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            F.lit(
+                "kmeans int64 exactness bound exceeded: a quantized "
+                f"component or centroid sum (scale={scale}) broke "
+                "|comp| <= sqrt(2^61/dim); lower `scale`"
+            )
+        )
+    )
+
+
+def _lloyd_chain(c: DataFrame, k: int, iters: int, scale: int):
+    """The deterministic Lloyd iteration chain over a pre-quantized
+    (vec_id, v:array<bigint>) frame. Init picks the k corpus vectors
+    with smallest md5-rank via orderBy().limit() —
+    TakeOrderedAndProject, no global sort. Per iteration: broadcast
+    the k sum-vectors -> nearest-centroid assignment (argmax cosine,
+    centroid-id tiebreak; map-side, no shuffle) -> per-dimension sums
+    via posexplode + partial-agg groupBy((centroid, dim)).
+
+    Returns (assigned, cent, sizes): the final assignment
+    (vec_id, v, centroid_id, cos), the centroid frame that produced it
+    (centroid_id, cvec — integer SUM vectors after the first
+    iteration, seed vectors for iters=0), and the member counts of
+    the sums behind ``cent`` (n_members=1 for the iters=0 seeds) —
+    sizes are what a mean reconstruction divides by (pq_codes)."""
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    picked = (
+        c.select("vec_id", "v", hcol.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    cent = picked.select(
+        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias(
+            "centroid_id"
+        ),
+        F.col("v").alias("cvec"),
+    )
+    sizes = cent.select(
+        "centroid_id", F.lit(1).cast("bigint").alias("n_members")
+    )
+
+    def assign(cents):
+        scored = c.crossJoin(F.broadcast(cents)).withColumn(
+            "cos", _int_cosine(F.col("v"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "v", "centroid_id", "cos")
+        )
+
+    assigned = assign(cent)
+    for _ in range(iters):
+        cent = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("centroid_id")
+            .agg(
+                _exact_guard(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    scale,
+                ).alias("cvec")
+            )
+        )
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        assigned = assign(cent)
+    return assigned, cent, sizes
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
@@ -384,91 +484,17 @@ def kmeans_lloyd(
     assignment; cosine (to the centroid, rounded 6) is the per-vector
     quantization quality.
     """
-    def _checked(col):
-        # per-row lazy exactness guard IN THE VALUE PATH (a side
-        # column would be pruned by Catalyst): |component| <=
-        # sqrt(2^61/dim) guarantees every dim-length int64 fold of
-        # such components stays under 2^61. Under ANSI (Spark 4
-        # default) an overflow would already error — this replaces
-        # the opaque ArithmeticException with an actionable message.
-        # (The per-dimension SUM feeding a centroid is itself safe:
-        # with |val| <= 2^27ish the long agg overflows only past
-        # ~6e10 members in ONE cluster.)
-        lim = F.floor(F.sqrt(F.lit(float(1 << 61)) / F.size(col)))
-        ok = F.array_max(F.transform(col, lambda x: F.abs(x))) <= lim
-        return F.when(ok, col).otherwise(
-            F.raise_error(
-                F.lit(
-                    "kmeans_lloyd int64 exactness bound exceeded: a "
-                    f"quantized component or centroid sum (scale={scale}) "
-                    "broke |comp| <= sqrt(2^61/dim); lower `scale`"
-                )
-            )
-        )
-
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        _checked(
+        _exact_guard(
             F.transform(
                 F.col(vec_col),
                 lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-            )
+            ),
+            scale,
         ).alias("v"),
     )
-    hcol = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-    )
-    picked = (
-        c.select("vec_id", "v", hcol.alias("_h"))
-        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
-        .limit(k)
-    )
-    cent = picked.select(
-        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias(
-            "centroid_id"
-        ),
-        F.col("v").alias("cvec"),
-    )
-
-    def assign(cents):
-        scored = c.crossJoin(F.broadcast(cents)).withColumn(
-            "cos", _int_cosine(F.col("v"), F.col("cvec"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "v", "centroid_id", "cos")
-        )
-
-    assigned = assign(cent)
-    for _ in range(iters):
-        sums = (
-            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
-            .groupBy("centroid_id", "dim")
-            .agg(F.sum("val").alias("s"))
-            .groupBy("centroid_id")
-            .agg(
-                _checked(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "s"))),
-                        lambda x: x["s"],
-                    )
-                ).alias("cvec")
-            )
-        )
-        assigned = assign(sums)
-
+    assigned, _cent, _sizes = _lloyd_chain(c, k, iters, scale)
     wsz = Window.partitionBy("centroid_id")
     return assigned.select(
         "vec_id",
@@ -535,4 +561,149 @@ def semdedup(
         "centroid_id",
         "cluster_size",
         F.col("_dropped").isNull().alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-vector ANN
+# ---------------------------------------------------------------------------
+def _quantize(vec_col, scale: int):
+    return F.transform(
+        vec_col if not isinstance(vec_col, str) else F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+
+
+def _pq_frames(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """Shared PQ machinery (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each ``dim``-vector into
+    ``m`` subvectors, train an independent deterministic Lloyd
+    codebook of ``k`` centroids per subspace (``_lloyd_chain`` — the
+    same md5 init/exact-int folds as ``kmeans_lloyd``), and assign
+    each doc one code per subspace.
+
+    Reconstruction stays engine-exact: the subspace centroid MEAN is
+    re-quantized to integers — ``round(sum_j / n_members)`` per
+    component (one correctly-rounded double division from exact
+    int64s) — so the reconstructed full vector is an integer vector
+    at the original quantization scale and every downstream cosine is
+    an exact int64 fold.
+
+    Scale shape: m independent kmeans chains (each: bounded k-row
+    broadcast per assign, one (centroid, dim)-keyed partial agg per
+    iteration); codes-to-recon joins broadcast the m*k-entry codebook;
+    the m per-subspace assignments re-join on vec_id (hash joins on
+    the id — AQE-splittable, no skew key).
+
+    Returns one row per doc: (vec_id, code0..code{m-1}, v (full
+    quantized vector), rvec (full integer reconstruction)).
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide into m equal subspaces"
+    out = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _exact_guard(_quantize(F.col(vec_col), scale), scale).alias("v"),
+    )
+    for s in range(m):
+        c_s = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _exact_guard(
+                _quantize(F.slice(F.col(vec_col), s * sub + 1, sub), scale), scale
+            ).alias("v"),
+        )
+        assigned, cent, sizes = _lloyd_chain(c_s, k, iters, scale)
+        # k-row x k-row join: force broadcast (stats are unknown on
+        # these derived frames, so Spark would otherwise sort-merge)
+        recon = cent.join(F.broadcast(sizes), "centroid_id").select(
+            "centroid_id",
+            F.transform(
+                "cvec",
+                lambda x: F.round(x.cast("double") / F.col("n_members")).cast(
+                    "bigint"
+                ),
+            ).alias("rvec"),
+        )
+        part = (
+            assigned.join(F.broadcast(recon), "centroid_id")
+            .select(
+                "vec_id",
+                F.col("centroid_id").alias(f"code{s}"),
+                F.col("rvec").alias(f"_r{s}"),
+            )
+        )
+        out = out.join(part, "vec_id")
+    return out.select(
+        "vec_id",
+        *[F.col(f"code{s}") for s in range(m)],
+        "v",
+        F.concat(*[F.col(f"_r{s}") for s in range(m)]).alias("rvec"),
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """PQ encoding of the corpus: per-doc subspace codes plus the
+    reconstruction quality (cosine between the doc's quantized vector
+    and its integer PQ reconstruction, rounded 6). The codes column
+    set is the compressed representation a 100 TB index would store
+    (m bytes/vector at k<=256 vs 4*dim)."""
+    fr = _pq_frames(corpus, dim, m, k, iters, id_col, vec_col, scale)
+    return fr.select(
+        "vec_id",
+        *[F.col(f"code{s}") for s in range(m)],
+        F.round(_int_cosine(F.col("v"), F.col("rvec")), 6).alias("recon_cosine"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    k_results: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: queries keep their full quantized
+    vectors; corpus docs are represented by their PQ reconstructions.
+    Broadcast the (small) query set, score every doc's reconstruction
+    (exact int64 cosine folds — JVM-side, codegen), window top-k per
+    query with id tiebreak. The scan reads codes + the broadcast
+    codebook, never the original vectors — the PQ memory win."""
+    fr = _pq_frames(corpus, dim, m, k, iters, id_col, vec_col, scale)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _exact_guard(_quantize(F.col(vec_col), scale), scale).alias("qv"),
+    )
+    scored = (
+        fr.select("vec_id", "rvec")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(_int_cosine(F.col("qv"), F.col("rvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_results)
+        .select("query_id", "vec_id", "score", "rank")
     )
