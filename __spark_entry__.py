@@ -574,14 +574,12 @@ INC_NEAR_OFFSET = 2_000_000
 INC_NEAR_SUFFIX = " zz qq"
 
 
-def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-snapshot dedup: a hash-selected 1/5 of documents plays
-    the fresh crawl snapshot, the rest the existing index. Planted
-    copies of low-id index docs (exact, and near with a 2-token
-    suffix) make both dup gates bite deterministically — the raw
-    corpus need not contain cross-split duplicates."""
-    from eynollah_spark.operators.dedup import incremental_dedup
-
+def _inc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(new_snapshot, index) split of documents: a hash-selected 1/5
+    plays the fresh crawl snapshot, the rest the existing index.
+    Planted copies of low-id index docs (exact, and near with a
+    2-token suffix) make the dup gates bite deterministically — the
+    raw corpus need not contain cross-split duplicates."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     is_new = (
         F.pmod(
@@ -614,7 +612,29 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return new, idx
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.dedup import incremental_dedup
+
+    new, idx = _inc_frames(spark, sf_dir)
     return incremental_dedup(new, idx, threshold=JACCARD_T)
+
+
+BLOOM_M = 1 << 10  # deliberately small so false positives are observable
+BLOOM_K = 4
+
+
+def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe of the new snapshot against the
+    index — the compact persisted-index form of incremental dedup.
+    m_bits is sized SMALL here so the false_positive column is
+    non-trivially exercised (production sizing drives it to ~0)."""
+    from eynollah_spark.operators.dedup import bloom_probe
+
+    new, idx = _inc_frames(spark, sf_dir)
+    return bloom_probe(new, idx, m_bits=BLOOM_M, k_hashes=BLOOM_K)
 
 
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
+        "bloom_probe": _q_bloom_probe,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
         "curation_survivors": _q_curation_survivors,
@@ -2780,11 +2801,8 @@ SELECT doc_id, logw_e6, key_e6,
 FROM scored ORDER BY key_e6 DESC, doc_id ASC LIMIT {DSIR_N}
 """
 
-    # incremental_dedup: asymmetric new-vs-index exact + MinHash-LSH
-    # gates over the plant-augmented corpus (mirror of
-    # _q_incremental_dedup + operators/dedup.incremental_dedup).
-    sql["incremental_dedup"] = f"""
-WITH split AS (
+    # shared new-snapshot/index split (mirror of _inc_frames)
+    _inc_split = f"""split AS (
   SELECT doc_id, text,
          {_h64sql("'inc:' || CAST(doc_id AS VARCHAR)")} % {INC_MOD} = 0 AS isnew
   FROM documents
@@ -2797,7 +2815,13 @@ newd AS (
   UNION ALL
   SELECT doc_id + {INC_NEAR_OFFSET}, text || '{INC_NEAR_SUFFIX}'
   FROM idx WHERE doc_id < {INC_PLANT_N}
-),
+)"""
+
+    # incremental_dedup: asymmetric new-vs-index exact + MinHash-LSH
+    # gates over the plant-augmented corpus (mirror of
+    # _q_incremental_dedup + operators/dedup.incremental_dedup).
+    sql["incremental_dedup"] = f"""
+WITH {_inc_split},
 alld AS (SELECT * FROM newd UNION ALL SELECT * FROM idx),
 ish AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -2849,6 +2873,49 @@ SELECT n.doc_id,
        (nr.doc_id IS NOT NULL) AS dup_near,
        (e.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
 FROM newd n LEFT JOIN ex e USING (doc_id) LEFT JOIN near nr USING (doc_id)
+"""
+
+    # bloom_probe: compact Bloom bitmap over index text hashes (32-bit
+    # words in BIGINTs; 1<<63 overflows DuckDB's shift), probed by the
+    # new snapshot, with the exact gate alongside to expose the FP rate
+    perm_bloom = ", ".join(
+        f"({i}, {kk}, {rr})"
+        for i, (kk, rr) in enumerate(_perm_consts(BLOOM_K))
+    )
+    sql["bloom_probe"] = f"""
+WITH {_inc_split},
+ihb AS (SELECT DISTINCT {_h64sql("text")} AS hb FROM idx),
+ipos AS (
+  SELECT ({minhash_mix}) % {BLOOM_M} AS pos
+  FROM ihb, (VALUES {perm_bloom}) AS p(i, k, r)
+),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM ipos GROUP BY 1
+),
+nhb AS (SELECT doc_id, {_h64sql("text")} AS hb FROM newd),
+npos AS (
+  SELECT doc_id, ({minhash_mix}) % {BLOOM_M} AS pos
+  FROM nhb, (VALUES {perm_bloom}) AS p(i, k, r)
+),
+hits AS (
+  SELECT doc_id,
+         min(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END) = 1 AS maybe_dup
+  FROM (SELECT doc_id, pos, pos // 32 AS word FROM npos) n
+  LEFT JOIN bloom b USING (word)
+  GROUP BY doc_id
+),
+bex AS (
+  SELECT DISTINCT n.doc_id FROM newd n
+  JOIN (SELECT DISTINCT md5(text) AS th FROM idx) i ON md5(n.text) = i.th
+)
+SELECT h.doc_id, h.maybe_dup,
+       (e.doc_id IS NOT NULL) AS dup_exact,
+       (h.maybe_dup AND e.doc_id IS NULL) AS false_positive
+FROM hits h LEFT JOIN bex e USING (doc_id)
 """
 
     sql["probe_metadata"] = f"""

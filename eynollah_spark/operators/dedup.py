@@ -774,3 +774,127 @@ def duplicate_ngram_scrub(
             " ",
         ).alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Bloom-filter membership probe (compact cross-snapshot index)
+# ---------------------------------------------------------------------------
+def bloom_index(
+    index_docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Compact Bloom bitmap over the index corpus's text hashes:
+    (word, bits) rows, 32 bits per BIGINT word (32 keeps every mask
+    positive — DuckDB errors on 1<<63, and signed-bit semantics differ
+    per engine). Position i of a doc is the xor-rotate bijection
+    ``_perm_mix`` of its 60-bit text hash (one md5 per doc, k cheap
+    bijections — the same one-hash trick the MinHash family uses),
+    mod ``m_bits``.
+
+    Scale posture: the bitmap is m_bits/32 rows regardless of corpus
+    size — a 2^30-bit filter is 33M rows / ~512 MB serialized words,
+    broadcastable shard-wise; building it is one groupBy(word) with
+    map-side bit_or partials. This is the structure an Iceberg
+    incremental-dedup pipeline persists between snapshots instead of
+    the full hash set.
+    """
+    hb = index_docs.select(_h64(F.col(text_col)).alias("hb")).distinct()
+    pos = hb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(_perm_mix(F.col("hb"), kk, rr), F.lit(m_bits))
+                    for kk, rr in _perm_consts(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy((F.col("pos") / 32).cast("bigint").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_probe(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe each NEW doc against the index's Bloom filter and against
+    the exact hash set, measuring the filter's behavior: one row per
+    new doc with (doc_id, maybe_dup, dup_exact, false_positive).
+
+    ``maybe_dup`` is the Bloom answer (ALL k positions set);
+    ``dup_exact`` the ground truth (text-hash semi-join);
+    ``false_positive`` = maybe_dup AND NOT dup_exact — at production
+    sizing (m_bits >> k*n) this column is the observable FP rate the
+    pipeline monitors. No false negatives by construction (asserted
+    implicitly: dup_exact => maybe_dup for every row).
+
+    Shuffle pattern: the probe joins the bounded (word, bits) table —
+    broadcast — so probing is map-side + one groupBy(doc_id); the
+    exact gate reuses the incremental_dedup hash semi-join shape.
+    """
+    bloom = bloom_index(index_docs, text_col, m_bits, k_hashes)
+    probes = new_docs.select(
+        "doc_id", _h64(F.col(text_col)).alias("hb")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(_perm_mix(F.col("hb"), kk, rr), F.lit(m_bits))
+                    for kk, rr in _perm_consts(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probes.withColumn("word", (F.col("pos") / 32).cast("bigint"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg((F.min("hit") == 1).alias("maybe_dup"))
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5(F.col(text_col)).alias("_h"))
+        .join(
+            index_docs.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+            "_h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("dup_exact", F.lit(True))
+    )
+    return (
+        hits.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            (F.col("maybe_dup") & F.col("dup_exact").isNull()).alias(
+                "false_positive"
+            ),
+        )
+    )

@@ -149,3 +149,51 @@ def test_pq_codebook_joins_are_broadcast(spark):
     plan = _plan(pq_codes(e, dim=64, m=4, k=8, iters=2))
     assert "BroadcastHashJoin" in plan, plan
     assert not re.search(r"SortMergeJoin \[centroid_id", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# bloom_probe
+# ---------------------------------------------------------------------------
+def test_bloom_probe_no_false_negatives(spark):
+    """Bloom invariant: every exact dup must be flagged maybe_dup, at
+    ANY filter size."""
+    from eynollah_spark.operators.dedup import bloom_probe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    idx = d.filter(F.col("doc_id") >= 100)
+    plants = idx.filter(F.col("doc_id") < 110).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    new = d.filter(F.col("doc_id") < 100).unionByName(plants)
+    for m in (1 << 8, 1 << 16):
+        out = bloom_probe(new, idx, m_bits=m).collect()
+        assert all(r.maybe_dup for r in out if r.dup_exact), m
+        assert all(not (r.dup_exact and r.false_positive) for r in out)
+
+
+def test_bloom_probe_fp_rate_shrinks_with_m(spark):
+    """Growing the filter must (weakly) shrink false positives; at
+    production sizing (m >> k*n) FPs vanish."""
+    from eynollah_spark.operators.dedup import bloom_probe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    idx = d.filter(F.col("doc_id") >= 100)
+    new = d.filter(F.col("doc_id") < 100)
+    fps = []
+    for m in (1 << 8, 1 << 12, 1 << 20):
+        out = bloom_probe(new, idx, m_bits=m).collect()
+        fps.append(sum(1 for r in out if r.false_positive))
+    assert fps[0] >= fps[1] >= fps[2]
+    assert fps[2] == 0, fps
+
+
+def test_bloom_index_is_bounded_and_broadcast(spark):
+    """The probe join must broadcast the (word, bits) table; the
+    bitmap row count is bounded by m_bits/32 regardless of corpus."""
+    from eynollah_spark.operators.dedup import bloom_index, bloom_probe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    idx = d.filter(F.col("doc_id") >= 100)
+    assert bloom_index(idx, m_bits=1 << 8).count() <= (1 << 8) // 32
+    plan = _plan(bloom_probe(d.filter(F.col("doc_id") < 100), idx, m_bits=1 << 10))
+    assert "BroadcastHashJoin [word" in plan, plan
