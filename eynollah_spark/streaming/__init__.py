@@ -5,6 +5,7 @@ from eynollah_spark.streaming.jobs import (
     stream_extract_spans,
     stream_dedup_docs,
     stream_near_dup_docs,
+    stream_incremental_dedup,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "stream_extract_spans",
     "stream_dedup_docs",
     "stream_near_dup_docs",
+    "stream_incremental_dedup",
 ]

@@ -224,6 +224,32 @@ def stream_near_dup_docs(
     )
 
 
+def stream_incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming cross-snapshot dedup: in-flight documents whose
+    md5(text) already exists in the STATIC index snapshot are dropped
+    — the streaming twin of ``operators/dedup.incremental_dedup``'s
+    exact gate, as a stream-static LEFT ANTI join (supported join type
+    for stream x static in Structured Streaming; the static side is
+    re-read per micro-batch, so a snapshot refresh is picked up
+    without restarting the query).
+
+    Scale posture: the static side reduces to DISTINCT hashes before
+    the join; with a production index this is the persisted hash table
+    (or its Bloom front, ``bloom_index``) rather than a re-scan. The
+    join is stateless — no streaming state at all, unlike the
+    watermark-bounded within-stream dedup of ``stream_dedup_docs``;
+    compose both for "new vs index AND new vs new" semantics.
+    """
+    idx = index_docs.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    return new_docs.withColumn("text_hash", F.md5(F.col(text_col))).join(
+        idx, "text_hash", "left_anti"
+    )
+
+
 def stream_extract_spans(
     spark: SparkSession,
     transcripts_dir: str,

@@ -326,3 +326,36 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert 99_999 not in got
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    """Stream-static anti join vs the index snapshot: streamed docs
+    whose text exists in the static index are dropped; intra-stream
+    duplicates are NOT this operator's job and pass through. Result
+    must equal the batch incremental exact gate."""
+    import datetime
+
+    from eynollah_spark.streaming.jobs import stream_incremental_dedup
+
+    idx_rows = [(100 + i, f"indexed text {i}") for i in range(10)]
+    idx = spark.createDataFrame(idx_rows, "doc_id long, text string")
+    new_rows = (
+        [(i, f"fresh text {i}", datetime.datetime(2025, 1, 1, 0, i)) for i in range(5)]
+        + [(50 + i, f"indexed text {i}", datetime.datetime(2025, 1, 1, 1, i)) for i in range(4)]
+        + [(90, "fresh text 0", datetime.datetime(2025, 1, 1, 2, 0))]  # intra-stream dup
+    )
+    df = spark.createDataFrame(new_rows, "doc_id long, text string, ts timestamp")
+    d = str(tmp_path / "newdocs")
+    df.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    q = (
+        stream_incremental_dedup(src, idx)
+        .writeStream.format("memory")
+        .queryName("inc_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("select * from inc_dedup").collect())
+    assert got == [0, 1, 2, 3, 4, 90], got
