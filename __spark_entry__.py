@@ -1255,7 +1255,6 @@ jac AS (
 """
 
 
-_JACCARD_SQL_BODY = _jaccard_body("sh")
 
 # doc-frequency cap over the distinct-shingle relation (mirror of
 # ngram_jaccard_pairs(max_doc_freq=...); shingles are distinct per doc
@@ -2247,9 +2246,13 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
         "((xor(hb, p.k) & ((1::BIGINT << (60 - p.r)) - 1)) << p.r)"
         " | (xor(hb, p.k) >> (60 - p.r))"
     )
+    # hb-domain chain (mirror of dedup.shingle_hashes): the distinct,
+    # signatures AND the jaccard verification all work over the 60-bit
+    # shingle hashes — identical to the Spark plan, which never
+    # shuffles shingle strings in the MinHash family
     minhash_ctes = f"""{_SHINGLES_CTE},
 mhb AS (
-  SELECT doc_id, {_h64sql("shingle")} AS hb FROM sh
+  SELECT DISTINCT doc_id, {_h64sql("shingle")} AS hb FROM sh
 ),
 mh AS (
   SELECT doc_id, p.i, min({minhash_mix}) AS h
@@ -2266,7 +2269,19 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 ),
-{_JACCARD_SQL_BODY}"""
+msizes AS (SELECT doc_id, count(*) AS n_sh FROM mhb GROUP BY doc_id),
+minter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM mhb a JOIN mhb b ON a.hb = b.hb AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, n_common,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM minter
+  JOIN msizes sa ON sa.doc_id = doc_a
+  JOIN msizes sb ON sb.doc_id = doc_b
+)"""
 
     sql["minhash_lsh_pairs"] = f"""
 WITH {minhash_ctes}
@@ -2832,7 +2847,7 @@ ish AS (
     FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM alld)
   ) WHERE length(shingle) > 0
 ),
-imhb AS (SELECT doc_id, {_h64sql("shingle")} AS hb FROM ish),
+imhb AS (SELECT DISTINCT doc_id, {_h64sql("shingle")} AS hb FROM ish),
 imh AS (
   SELECT doc_id, p.i, min({minhash_mix}) AS h
   FROM imhb, (VALUES {perm_rows}) AS p(i, k, r)
@@ -2849,12 +2864,12 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM nb a JOIN ib b ON a.band = b.band AND a.bsig = b.bsig
 ),
-isz AS (SELECT doc_id, count(*) AS n_sh FROM ish GROUP BY doc_id),
+isz AS (SELECT doc_id, count(*) AS n_sh FROM imhb GROUP BY doc_id),
 vint AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cand c
-  JOIN ish a ON a.doc_id = c.doc_a
-  JOIN ish b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN imhb a ON a.doc_id = c.doc_a
+  JOIN imhb b ON b.doc_id = c.doc_b AND b.hb = a.hb
   GROUP BY 1, 2
 ),
 near AS (

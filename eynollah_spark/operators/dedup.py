@@ -81,6 +81,31 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """doc_id -> distinct 60-bit shingle HASHES (hb). The MinHash
+    family's working domain: hashing before the distinct means every
+    shuffle in signatures and verification moves 8-byte bigints
+    instead of shingle strings — at 100 TB that is the difference
+    between shuffling ~2 bytes/char of text k times over and a fixed
+    8 bytes per shingle. Set semantics shift from exact strings to the
+    60-bit hash space (a pair of distinct shingles collides with
+    p = 2^-60; the DuckDB oracle mirrors the identical arithmetic, so
+    results stay engine-exact). ``word_shingles`` remains the exact
+    string-domain baseline used by ngram_jaccard_pairs."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        df.select("doc_id", F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .select("doc_id", _h64(F.col("shingle")).alias("hb"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -171,10 +196,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id -> array<bigint> of minhashes. One 60-bit md5 per
     shingle, permutation i applied as the xor-rotate bijection of
-    ``_perm_mix`` — deterministic and engine-portable."""
-    sh = word_shingles(df, text_col, k).select(
-        "doc_id", _h64(F.col("shingle")).alias("hb")
-    )
+    ``_perm_mix`` — deterministic and engine-portable. Works in the
+    hb domain (``shingle_hashes``): the distinct and the signature
+    groupBy both shuffle bigints, never shingle strings."""
+    sh = shingle_hashes(df, text_col, k)
     aggs = [
         F.min(_perm_mix(F.col("hb"), kk, rr)).alias(f"h{i}")
         for i, (kk, rr) in enumerate(_perm_consts(num_hashes))
@@ -209,28 +234,30 @@ def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("doc_id", "n_sh", "bs.band", "bs.bsig")
 
 
-def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs.
+def _verify_jaccard(shb: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard verification of LSH candidate pairs over the hb domain.
 
-    ``sh`` is the (doc_id, shingle) universe; ``cand`` carries
-    (doc_a, doc_b, n_a, n_b). The shingle join runs only over docs
-    that appear in some candidate (semi-joined), so verification cost
-    scales with LSH bucket collisions, never with corpus^2. No forced
-    broadcast of the candidate set: on a near-dup-heavy corpus a hot
-    band makes candidates unbounded, so AQE decides
-    broadcast-vs-shuffle from the measured size at runtime.
+    ``shb`` is the (doc_id, hb) distinct-shingle-hash universe
+    (``shingle_hashes``); ``cand`` carries (doc_a, doc_b, n_a, n_b).
+    The hash join runs only over docs that appear in some candidate
+    (semi-joined), so verification cost scales with LSH bucket
+    collisions, never with corpus^2 — and the join key is an 8-byte
+    bigint, not a shingle string. No forced broadcast of the candidate
+    set: on a near-dup-heavy corpus a hot band makes candidates
+    unbounded, so AQE decides broadcast-vs-shuffle from the measured
+    size at runtime.
     """
     docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    sh_a = sh.join(docs_a, "doc_id")
-    sh_b = sh.join(docs_b, "doc_id")
+    sh_a = shb.join(docs_a, "doc_id")
+    sh_b = shb.join(docs_b, "doc_id")
     inter = (
         sh_a.alias("a")
         .join(cand, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             sh_b.alias("b"),
             (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            & (F.col("a.hb") == F.col("b.hb")),
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -279,7 +306,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(word_shingles(df, text_col, k), cand, threshold)
+    return _verify_jaccard(shingle_hashes(df, text_col, k), cand, threshold)
 
 
 def incremental_dedup(
@@ -342,9 +369,9 @@ def incremental_dedup(
         )
         .distinct()
     )
-    sh = word_shingles(new_docs.unionByName(index_docs), text_col, k)
+    shb = shingle_hashes(new_docs.unionByName(index_docs), text_col, k)
     near = (
-        _verify_jaccard(sh, cand, threshold)
+        _verify_jaccard(shb, cand, threshold)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("dup_near", F.lit(True))
