@@ -802,7 +802,11 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (index_name, recall_at_k, n_pairs)."""
     truth = _q_topk(spark, sf_dir).select("query_id", "vec_id")
     out = None
-    for name, qfn in (("ivf", _q_ann_ivf_topk), ("lsh", _q_ann_lsh_topk)):
+    for name, qfn in (
+        ("ivf", _q_ann_ivf_topk),
+        ("lsh", _q_ann_lsh_topk),
+        ("pq", _q_ann_pq_topk),
+    ):
         approx = qfn(spark, sf_dir).select(
             "query_id", "vec_id", F.lit(1).alias("_hit")
         )
@@ -2548,24 +2552,8 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
 WHERE rk <= {TOPK_K}
 """
 
-    # ann_recall: recall@k of each approximate index vs brute force —
-    # composes the three existing oracle bodies as subqueries
-    sql["ann_recall"] = f"""
-WITH tr AS (SELECT query_id, vec_id FROM ({sql["embedding_topk"]})),
-aivf AS (SELECT query_id, vec_id FROM ({sql["ann_ivf_topk"]})),
-alsh AS (SELECT query_id, vec_id FROM ({sql["ann_lsh_topk"]}))
-SELECT 'ivf' AS index_name,
-       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*), 6) AS recall_at_k,
-       count(*) AS n_pairs
-FROM tr LEFT JOIN aivf i USING (query_id, vec_id)
-UNION ALL
-SELECT 'lsh',
-       round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*), 6),
-       count(*)
-FROM tr LEFT JOIN alsh l USING (query_id, vec_id)
-"""
+    # ann_recall is composed AFTER the pq oracle exists (it embeds the
+    # ivf/lsh/pq topk bodies as subqueries) — see below.
 
     # kmeans_embeddings: Lloyd iterations unrolled. Exactness design
     # mirrors operators/similarity.kmeans_lloyd: 2^20-quantized bigint
@@ -2761,6 +2749,32 @@ SELECT query_id, vec_id, score, CAST(rk AS INT) AS rank FROM (
                                ORDER BY score DESC, vec_id ASC) AS rk
   FROM s)
 WHERE rk <= {TOPK_K}
+"""
+
+    # ann_recall: recall@k of each approximate index vs brute force —
+    # composes the three topk oracle bodies as subqueries
+    sql["ann_recall"] = f"""
+WITH tr AS (SELECT query_id, vec_id FROM ({sql["embedding_topk"]})),
+aivf AS (SELECT query_id, vec_id FROM ({sql["ann_ivf_topk"]})),
+alsh AS (SELECT query_id, vec_id FROM ({sql["ann_lsh_topk"]})),
+apq AS (SELECT query_id, vec_id FROM ({sql["ann_pq_topk"]}))
+SELECT 'ivf' AS index_name,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS recall_at_k,
+       count(*) AS n_pairs
+FROM tr LEFT JOIN aivf i USING (query_id, vec_id)
+UNION ALL
+SELECT 'lsh',
+       round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6),
+       count(*)
+FROM tr LEFT JOIN alsh l USING (query_id, vec_id)
+UNION ALL
+SELECT 'pq',
+       round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6),
+       count(*)
+FROM tr LEFT JOIN apq p USING (query_id, vec_id)
 """
 
     # dsir_select: bucket histograms + add-one-smoothed log-likelihood
