@@ -637,6 +637,38 @@ def _q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(new, idx, m_bits=BLOOM_M, k_hashes=BLOOM_K)
 
 
+TURN_RETRY_OFFSET = 1000
+TURN_RETRY_CONVS = 10
+
+
+def _q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation repeated-turn detection over the derived
+    transcripts, with planted retries (turn 0 of the first convs
+    re-emitted at a late turn_idx) so the repeat gate bites — the
+    derived corpus has no organic intra-conversation repeats."""
+    from eynollah_spark.operators.dedup import turn_dedup
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    docnum = F.substring("conv_id", 4, 12).cast("int")
+    plant = t.filter((docnum < TURN_RETRY_CONVS) & (F.col("turn_idx") == 0)).select(
+        "conv_id",
+        (F.col("turn_idx") + TURN_RETRY_OFFSET).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return turn_dedup(t.unionByName(plant))
+
+
+TEMP_ALPHA = 0.7
+
+
+def _q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir), alpha=TEMP_ALPHA)
+
+
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_turn_metadata(
         transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
@@ -1141,10 +1173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "per_source_quota": _q_per_source_quota,
         "dsir_select": _q_dsir_select,
+        "temperature_weights": _q_temperature_weights,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
         "bloom_probe": _q_bloom_probe,
+        "turn_dedup": _q_turn_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
         "curation_survivors": _q_curation_survivors,
@@ -2945,6 +2979,45 @@ SELECT h.doc_id, h.maybe_dup,
        (e.doc_id IS NOT NULL) AS dup_exact,
        (h.maybe_dup AND e.doc_id IS NULL) AS false_positive
 FROM hits h LEFT JOIN bex e USING (doc_id)
+"""
+
+    # turn_dedup: repeated-turn flags over the derived transcripts +
+    # planted retries (mirror of _q_turn_dedup / dedup.turn_dedup)
+    sql["turn_dedup"] = f"""
+WITH {_LINES_CTE},
+turns AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // {LINES_PER_TURN} AS INT) AS turn_idx,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM lines GROUP BY doc_id, line_idx // {LINES_PER_TURN}
+),
+base AS (
+  SELECT conv_id, turn_idx, text FROM turns
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx + {TURN_RETRY_OFFSET} AS INT), text FROM turns
+  WHERE CAST(substring(conv_id, 4) AS INT) < {TURN_RETRY_CONVS} AND turn_idx = 0
+)
+SELECT conv_id, turn_idx,
+       CAST(min(turn_idx) OVER (PARTITION BY conv_id, md5(text)) AS INT)
+         AS first_turn_idx,
+       turn_idx > min(turn_idx) OVER (PARTITION BY conv_id, md5(text))
+         AS is_repeat
+FROM base
+"""
+
+    # temperature_weights: alpha-scaled mixture weights per source
+    sql["temperature_weights"] = f"""
+WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA})) AS z,
+         CAST(sum(n_docs) AS BIGINT) AS n_tot
+  FROM cnt
+)
+SELECT source, n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA}) / z, 6) AS weight,
+       round((pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA}) / z)
+             / (n_docs / n_tot), 6) AS boost
+FROM cnt CROSS JOIN tot
 """
 
     sql["probe_metadata"] = f"""

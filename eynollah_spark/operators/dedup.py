@@ -925,3 +925,37 @@ def bloom_probe(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. per-conversation repeated-turn detection
+# ---------------------------------------------------------------------------
+def turn_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag repeated turns WITHIN a conversation — the agent-transcript
+    cleanup pass: retry loops and duplicated tool outputs re-emit the
+    same turn text later in the same conversation, and training on the
+    repeats double-counts them. A turn is a repeat when its exact text
+    already appeared at a lower ``turn_idx`` in the SAME conversation.
+
+    One window keyed (conv_id, md5(text)): the shuffle is the same
+    conv_id exchange the extraction pipeline uses, and the per-group
+    work is bounded by turns-per-conversation (the corpus skew axis
+    the salted extraction path already handles — compose with a salted
+    repartition for degenerate conversations).
+
+    Returns (conv_id, turn_idx, first_turn_idx, is_repeat).
+    """
+    w = Window.partitionBy(conv_col, F.md5(F.col(text_col)))
+    return (
+        turns.select(
+            conv_col,
+            idx_col,
+            F.min(idx_col).over(w).alias("first_turn_idx"),
+        )
+        .withColumn("is_repeat", F.col(idx_col) > F.col("first_turn_idx"))
+    )

@@ -213,3 +213,36 @@ def dsir_select(
         .over(Window.orderBy(F.desc("key_e6"), F.asc("doc_id")))
         .alias("rank"),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual-LM
+    sampling rule (alpha < 1 upsamples tail sources/languages):
+    w_s = n_s^alpha / sum_t n_t^alpha. ``boost`` is w_s divided by the
+    natural share n_s/N — the factor to feed ``stratified_sample``
+    rates when rebalancing the corpus.
+
+    One groupBy to per-group counts (partial agg), a broadcast of the
+    1-row normalizer — group count is bounded by the source/language
+    vocabulary, so every frame here is tiny at any corpus size.
+
+    Returns (source, n_docs, weight, boost), floats rounded 6.
+    """
+    cnt = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z"),
+        F.sum("n_docs").alias("n_tot"),
+    )
+    p = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(p / F.col("z"), 6).alias("weight"),
+        F.round((p / F.col("z")) / (F.col("n_docs") / F.col("n_tot")), 6).alias(
+            "boost"
+        ),
+    )
