@@ -669,6 +669,18 @@ def _q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(_docs(spark, sf_dir), alpha=TEMP_ALPHA)
 
 
+TRAIN_SHARDS_N = 16
+TRAIN_SHARDS_SEED = "s0"
+
+
+def _q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.sampling import train_shard_stats
+
+    return train_shard_stats(
+        _docs(spark, sf_dir), n_shards=TRAIN_SHARDS_N, seed=TRAIN_SHARDS_SEED
+    )
+
+
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_turn_metadata(
         transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_quota": _q_per_source_quota,
         "dsir_select": _q_dsir_select,
         "temperature_weights": _q_temperature_weights,
+        "train_shards": _q_train_shards,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3018,6 +3031,21 @@ SELECT source, n_docs,
        round((pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA}) / z)
              / (n_docs / n_tot), 6) AS boost
 FROM cnt CROSS JOIN tot
+"""
+
+    # train_shards: deterministic training shuffle — per-shard manifest
+    shard_key = _h64sql(f"CAST(doc_id AS VARCHAR) || ':{TRAIN_SHARDS_SEED}'")
+    sql["train_shards"] = f"""
+WITH sh AS (
+  SELECT text, {shard_key} AS shuffle_key FROM documents
+)
+SELECT CAST(shuffle_key % {TRAIN_SHARDS_N} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum({n_ws}) AS BIGINT) AS total_tokens,
+       min(shuffle_key) AS min_key,
+       max(shuffle_key) AS max_key,
+       bit_xor(shuffle_key) AS key_xor
+FROM sh GROUP BY 1 ORDER BY 1
 """
 
     sql["probe_metadata"] = f"""

@@ -246,3 +246,78 @@ def temperature_weights(
             "boost"
         ),
     )
+
+
+def train_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training: every doc gets a
+    pseudo-random ``shuffle_key`` (h64 of ``id:seed``) and a ``shard``
+    in [0, n_shards). Reading shards in shard order and rows in key
+    order IS the shuffled corpus — reproducible on any cluster layout
+    (nothing depends on partition state), re-shuffled by changing
+    ``seed``. Pure map-side: zero shuffles added here.
+    """
+    key = _h64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return docs.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+
+
+def train_shard_stats(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest of the training shuffle: doc count, token
+    budget, key range and a key checksum per shard — the numbers a
+    training launcher needs to size epochs AND a determinism witness
+    (any reordering/repartitioning of the input leaves every row
+    identical). One partial-agg groupBy on ``shard``; output is
+    n_shards rows."""
+    from eynollah_spark.operators.text_analysis import token_count
+
+    sh = train_shards(docs, n_shards, seed, id_col)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+            F.min("shuffle_key").alias("min_key"),
+            F.max("shuffle_key").alias("max_key"),
+            # xor, not sum: 60-bit keys overflow int64 under sum at any
+            # real shard size; xor is order-independent and closed
+            F.expr("bit_xor(shuffle_key)").alias("key_xor"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training shuffle: one parquet directory per
+    shard, rows inside each file in shuffle-key order (the within-shard
+    random order). ``repartition(n_shards, shard)`` keeps every shard
+    whole in exactly one task, so each shard directory holds one file
+    whose row order is the shuffle order. Size ``n_shards`` so one
+    shard fits a task: at 100 TB with ~1 GiB training files that is
+    ~10^5 shards — the shuffle is one hash exchange regardless.
+    """
+    sh = train_shards(docs, n_shards, seed, id_col)
+    (
+        sh.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -181,3 +181,66 @@ def test_bm25_plan_no_token_shuffle(spark):
     assert "Generate explode" not in plan, plan
     assert "hashpartitioning(doc_id" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# train_shards / write_training_shards
+# ---------------------------------------------------------------------------
+
+
+def test_train_shards_layout_and_seed(spark):
+    """Shard assignment is a pure function of (doc_id, seed): identical
+    under any input partitioning; a different seed reshuffles."""
+    from eynollah_spark.operators.sampling import train_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r.doc_id: r.shard for r in train_shards(docs.repartition(1), 8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in train_shards(docs.repartition(5, "source"), 8).collect()
+    }
+    assert a == b
+    c = {r.doc_id: r.shard for r in train_shards(docs, 8, seed="s1").collect()}
+    assert c != a  # a new seed is a new shuffle
+    assert set(a.values()) <= set(range(8))
+    # covers every shard and is roughly balanced at 500 docs / 8 shards
+    import collections
+
+    sizes = collections.Counter(a.values())
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 3 * min(sizes.values())
+
+
+def test_train_shards_no_shuffle(spark):
+    """The assignment itself is map-side: zero exchanges."""
+    from eynollah_spark.operators.sampling import train_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(train_shards(docs, 16))
+    assert "Exchange" not in plan
+
+
+def test_write_training_shards_order_and_coverage(spark, tmp_path):
+    """The materialized shards hold every doc exactly once; each shard
+    directory holds ONE file whose row order is shuffle-key order (the
+    within-shard shuffle a training loader consumes by reading
+    sequentially)."""
+    import glob
+
+    from eynollah_spark.operators.sampling import write_training_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, f"{d}: a shard must be one file"
+        pdf = pd.read_parquet(files[0])
+        keys = pdf["shuffle_key"].tolist()
+        assert keys == sorted(keys)
