@@ -687,6 +687,18 @@ def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SFT_CONTEXT_TURNS = 4
+
+
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import sft_pairs
+
+    return sft_pairs(
+        transcripts_from_documents(spark, sf_dir),
+        max_context_turns=SFT_CONTEXT_TURNS,
+    )
+
+
 # one ANSI-SQL text executed verbatim by BOTH spark.sql and the DuckDB
 # oracle — the SQL API surface of the engine, portability by sharing
 _TOP_NATIONS_SQL = """
@@ -1187,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "temperature_weights": _q_temperature_weights,
         "train_shards": _q_train_shards,
+        "sft_pairs": _q_sft_pairs,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3046,6 +3059,37 @@ SELECT CAST(shuffle_key % {TRAIN_SHARDS_N} AS INT) AS shard,
        max(shuffle_key) AS max_key,
        bit_xor(shuffle_key) AS key_xor
 FROM sh GROUP BY 1 ORDER BY 1
+"""
+
+    # sft_pairs: frame-bounded prompt assembly per assistant turn
+    sql["sft_pairs"] = f"""
+WITH {_LINES_CTE},
+turns AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // {LINES_PER_TURN} AS INT) AS turn_idx,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM lines GROUP BY doc_id, line_idx // {LINES_PER_TURN}
+),
+t AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM turns
+),
+p AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(role || ': ' || text, chr(10) || chr(10))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {SFT_CONTEXT_TURNS} PRECEDING AND 1 PRECEDING),
+           '') AS prompt,
+         CAST(count(*)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {SFT_CONTEXT_TURNS} PRECEDING AND 1 PRECEDING)
+           AS INT) AS n_context_turns
+  FROM t
+)
+SELECT conv_id, turn_idx, prompt, text AS response, n_context_turns
+FROM p WHERE role = 'assistant'
 """
 
     sql["probe_metadata"] = f"""

@@ -493,3 +493,40 @@ def hashed_classifier_scores(
             "keep",
         )
     )
+
+
+def sft_pairs(
+    turns: DataFrame,
+    max_context_turns: int = 8,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(prompt, response) supervised-finetuning pairs from a turn
+    table (conv_id, turn_idx, role, text): one pair per assistant
+    turn, prompt = the preceding <= max_context_turns turns rendered
+    as ``role: text`` in conversation order. The frame bound is the
+    scale contract — per-row window state is K turns, never the whole
+    conversation, so a 10^6-turn skew conversation costs the same per
+    row as a 10-turn one. One exchange (hash by conv_id), shared by
+    both window expressions.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-max_context_turns, -1)
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    ctx = F.collect_list(line).over(w)
+    return (
+        turns.withColumn("prompt", F.array_join(ctx, sep))
+        .withColumn("n_context_turns", F.size(ctx))
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prompt",
+            F.col("text").alias("response"),
+            "n_context_turns",
+        )
+    )

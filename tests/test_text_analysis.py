@@ -248,3 +248,32 @@ def test_hashed_classifier_scores_shape(spark):
     assert got[1].keep == (got[1].logit > 0)
     for d in (3, 4):
         assert got[d].n_toks == 0 and got[d].logit is None and got[d].keep is None
+
+
+def test_sft_pairs_frame_bound_and_order(spark):
+    """Prompt holds at most K preceding turns, rendered in turn order;
+    first assistant turn sees exactly the opening user turn."""
+    from eynollah_spark.operators.text_analysis import sft_pairs
+
+    rows = [
+        ("c1", i, "user" if i % 2 == 0 else "assistant", f"t{i}") for i in range(6)
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r.turn_idx: r for r in sft_pairs(turns, max_context_turns=2).collect()}
+    assert sorted(out) == [1, 3, 5]
+    assert out[1].prompt == "user: t0"
+    assert out[1].n_context_turns == 1
+    # K=2 frame: only turns 3 and 4 precede turn 5 within the bound
+    assert out[5].prompt == "assistant: t3\n\nuser: t4"
+    assert out[5].n_context_turns == 2
+    assert out[3].response == "t3"
+
+
+def test_sft_pairs_one_exchange(spark):
+    """Both window expressions share one hash exchange on conv_id."""
+    from eynollah_spark.operators.text_analysis import sft_pairs
+
+    rows = [("c%d" % (i % 3), i // 3, "assistant" if i % 2 else "user", "x") for i in range(30)]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    plan = sft_pairs(turns)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
