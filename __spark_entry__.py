@@ -687,6 +687,15 @@ def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_N = 60
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=BPE_TOP_N)
+
+
 SFT_CONTEXT_TURNS = 4
 
 
@@ -1200,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": _q_temperature_weights,
         "train_shards": _q_train_shards,
         "sft_pairs": _q_sft_pairs,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3059,6 +3069,25 @@ SELECT CAST(shuffle_key % {TRAIN_SHARDS_N} AS INT) AS shard,
        max(shuffle_key) AS max_key,
        bit_xor(shuffle_key) AS key_xor
 FROM sh GROUP BY 1 ORDER BY 1
+"""
+
+    # bpe_pair_counts: one BPE merge step's pair-frequency statistic
+    sql["bpe_pair_counts"] = f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS wc
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE length(trim(text)) > 0 AND w <> ''
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair, wc
+  FROM words, unnest(range(1, length(word))) AS r(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
 """
 
     # sft_pairs: frame-bounded prompt assembly per assistant turn

@@ -530,3 +530,40 @@ def sft_pairs(
             "n_context_turns",
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the statistic one BPE merge
+    step computes when training a tokenizer on the corpus (the argmax
+    pair becomes the next merge; a driver loop over this job IS
+    distributed BPE training). Two shuffles, both on shrinking keys:
+    word-count (partial agg on words) then pair aggregation over the
+    DISTINCT-word table, whose size is the vocabulary, not the corpus
+    — at 100 TB the second stage runs on ~10^8 rows, not 10^13.
+
+    Returns the ``top_n`` (pair, n) rows, count-desc then pair-asc —
+    deterministic under ties.
+    """
+    t = F.trim(F.col(text_col))
+    words = (
+        docs.select(F.explode(F.split(t, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "pair").limit(top_n)

@@ -11,7 +11,8 @@ Flow: scan transcripts -> layout kernel (narrow) -> conv_id ordering
 windows (one exchange) -> per-conversation main-content reassembly
 (text+header spans in reading order; tool/boilerplate/separator spans
 dropped) -> quality gate -> exact dedup (keep lowest conv) ->
-MinHash-LSH near-dup removal (drop the newer of any verified pair).
+MinHash-LSH near-dup removal (deterministic survivor: the lower
+doc_id of each verified pair is kept).
 One declarative plan end-to-end; survivors land as parquet with a
 one-line JSON funnel report on stdout.
 """

@@ -277,3 +277,26 @@ def test_sft_pairs_one_exchange(spark):
     turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
     plan = sft_pairs(turns)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    """Pair counts sum the WORD counts (BPE semantics), not document
+    counts; words shorter than 2 chars contribute nothing."""
+    from eynollah_spark.operators.text_analysis import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd x"), (2, "ab  cd"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(docs, top_n=10).collect()}
+    assert got == {"ab": 3, "cd": 2}
+
+
+def test_bpe_pair_counts_overlapping_and_unicode(spark):
+    """Adjacent pairs overlap (abc -> ab, bc) and are character-based,
+    not byte-based, for multi-byte text."""
+    from eynollah_spark.operators.text_analysis import bpe_pair_counts
+
+    docs = spark.createDataFrame([(1, "abc über")], "doc_id long, text string")
+    got = {r.pair: r.n for r in bpe_pair_counts(docs, top_n=20).collect()}
+    assert got == {"ab": 1, "bc": 1, "üb": 1, "be": 1, "er": 1}
