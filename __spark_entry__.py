@@ -696,6 +696,15 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=BPE_TOP_N)
 
 
+NGRAM_DIVERSITY_N = 2
+
+
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), n=NGRAM_DIVERSITY_N)
+
+
 SFT_CONTEXT_TURNS = 4
 
 
@@ -1210,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shards": _q_train_shards,
         "sft_pairs": _q_sft_pairs,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "ngram_diversity": _q_ngram_diversity,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3088,6 +3098,26 @@ pairs AS (
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+    # ngram_diversity: distinct/total n-gram ratio per source
+    sql["ngram_diversity"] = f"""
+WITH toked AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT source,
+         array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {NGRAM_DIVERSITY_N - 1}], ' ')
+           AS gram
+  FROM toked, unnest(range(1, len(toks) - {NGRAM_DIVERSITY_N - 2})) AS r(i)
+  WHERE len(toks) >= {NGRAM_DIVERSITY_N}
+)
+SELECT source,
+       count(*) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       round(count(DISTINCT gram) * 1.0 / count(*), 6) AS diversity
+FROM grams GROUP BY 1 ORDER BY 1
 """
 
     # sft_pairs: frame-bounded prompt assembly per assistant turn

@@ -567,3 +567,41 @@ def bpe_pair_counts(
         .agg(F.sum("wc").alias("n"))
     )
     return pairs.orderBy(F.desc("n"), "pair").limit(top_n)
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct-over-total n-gram ratio per group — the mode-collapse
+    / memorization gauge for synthetic or scraped sources (a source
+    whose diversity collapses is template spam or a looping generator).
+    Exact distinct via the standard two-stage partial-distinct
+    aggregate: shuffle keys are (group, gram), so hot grams spread
+    across the gram dimension rather than hot-spotting one group task.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size({'_toks'}) - {n - 1}),"
+        f" i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    g = (
+        docs.withColumn("_toks", toks)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .filter(F.size("_toks") >= n)
+        .select(group_col, F.explode(grams).alias("gram"))
+    )
+    return (
+        g.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("distinct_grams"),
+        )
+        .withColumn(
+            "diversity",
+            F.round(F.col("distinct_grams") / F.col("n_grams"), 6),
+        )
+        .orderBy(group_col)
+    )

@@ -300,3 +300,23 @@ def test_bpe_pair_counts_overlapping_and_unicode(spark):
     docs = spark.createDataFrame([(1, "abc über")], "doc_id long, text string")
     got = {r.pair: r.n for r in bpe_pair_counts(docs, top_n=20).collect()}
     assert got == {"ab": 1, "bc": 1, "üb": 1, "be": 1, "er": 1}
+
+
+def test_ngram_diversity_detects_template_collapse(spark):
+    """A looping/template source shows a far lower distinct ratio than
+    a varied one; gram counting is per-occurrence, sliding window."""
+    from eynollah_spark.operators.text_analysis import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham", "loop"),
+            (2, "one two three four five six seven eight", "varied"),
+            (3, "", "empty"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in ngram_diversity(docs, n=2).collect()}
+    assert "empty" not in out
+    assert out["loop"].n_grams == 7 and out["loop"].distinct_grams == 2
+    assert out["varied"].diversity == 1.0
+    assert out["loop"].diversity < 0.3
