@@ -36,12 +36,19 @@ from eynollah_spark.operators.dedup import (
     near_dup_clusters,
     paragraph_dedup,
 )
+from eynollah_spark.operators.sampling import (
+    train_shards,
+    write_training_shards,
+)
 from eynollah_spark.operators.text_analysis import (
+    bpe_pair_counts,
     contamination_check,
+    ngram_diversity,
     pack_documents,
     pii_scrub,
     quality_features,
     repetition_stats,
+    sft_pairs,
 )
 from eynollah_spark.operators.similarity import brute_force_topk, kmeans_lloyd, semdedup
 
@@ -56,7 +63,12 @@ __all__ = [
     "minhash_lsh_pairs",
     "near_dup_clusters",
     "paragraph_dedup",
+    "bpe_pair_counts",
     "contamination_check",
+    "ngram_diversity",
+    "sft_pairs",
+    "train_shards",
+    "write_training_shards",
     "pack_documents",
     "pii_scrub",
     "quality_features",

@@ -5,7 +5,7 @@ eynollah.py:2300-2567) and the north rule's "resumable from
 checkpoint" maps to batch manifests, so streaming is an *extension*
 surface of this engine, not a parity requirement: the event table is
 stream-shaped (event_id, ts, user_id, event_type, value, props) and a
-training-data pipeline ingests continuously, so the three canonical
+training-data pipeline ingests continuously, so the canonical
 streaming shapes are provided:
 
 - watermarked event-time window aggregation (late data bounded)
@@ -16,6 +16,10 @@ streaming shapes are provided:
   through ``foreachBatch`` (kernel is stateless per turn, the
   ordering windows run within each micro-batch's conversations) —
   checkpointed, exactly-once per sink commit.
+- in-flight curation twins: exact dedup (stream-stream and
+  cross-snapshot stream-static), MinHash near-dup vs a static index,
+  stateless quality gating, and rolling-context SFT pair assembly
+  (``stream_sft_pairs`` — batch-parity asserted in tests).
 
 All sources are file streams (parquet dirs), so tests drive them with
 ``Trigger.AvailableNow`` against the driver testdata with no external
@@ -32,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -332,3 +337,85 @@ def stream_quality_filter(docs: DataFrame, buckets: int = 1 << 16) -> DataFrame:
     )
     n = F.size(toks)
     return docs.filter((n > 0) & (wsum > 0))
+
+
+# ---------------------------------------------------------------------------
+# streaming SFT pair assembly (the in-flight twin of
+# operators/text_analysis.sft_pairs)
+# ---------------------------------------------------------------------------
+
+SFT_STREAM_CONTEXT_TURNS = 8
+# per-conversation context state is dropped this long after the last
+# turn — bounds state by conversations ACTIVE within the horizon
+CONV_GC_HORIZON_S = 86400
+
+_SFT_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("prompt", StringType()),
+        StructField("response", StringType()),
+        StructField("n_context_turns", IntegerType()),
+    ]
+)
+_SFT_STATE = StructType(
+    [
+        StructField("ctx", ArrayType(StringType())),
+        StructField("last_idx", IntegerType()),
+    ]
+)
+
+
+def _sft_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-conversation rolling context: keeps the last K rendered
+    turns; each arriving assistant turn emits one (prompt, response)
+    pair against the buffer as it stood BEFORE the turn — byte-equal
+    to the batch sft_pairs frame semantics when turns arrive in
+    order. Replayed/duplicate turn_idx values are skipped (micro-batch
+    retries don't double-emit)."""
+    (conv_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs)).sort_values("turn_idx")
+    ctx, last_idx = state.get if state.exists else ([], -1)
+    ctx = list(ctx)
+    k = SFT_STREAM_CONTEXT_TURNS
+    out = {"conv_id": [], "turn_idx": [], "prompt": [], "response": [],
+           "n_context_turns": []}
+    for idx, role, text in zip(rows["turn_idx"], rows["role"], rows["text"]):
+        idx = int(idx)
+        if idx <= last_idx:
+            continue
+        if role == "assistant":
+            window = ctx[-k:]
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(idx)
+            out["prompt"].append("\n\n".join(window))
+            out["response"].append(text)
+            out["n_context_turns"].append(len(window))
+        ctx.append(f"{role}: {text}")
+        if len(ctx) > k:
+            ctx = ctx[-k:]
+        last_idx = idx
+    state.update((ctx, last_idx))
+    state.setTimeoutDuration(CONV_GC_HORIZON_S * 1000)
+    if out["conv_id"]:
+        yield pd.DataFrame(out)
+
+
+def stream_sft_pairs(turns: DataFrame) -> DataFrame:
+    """Streaming (prompt, response) assembly over a turn stream: state
+    per conversation is K rendered turns + one index — constant-size
+    regardless of conversation length, GC'd after CONV_GC_HORIZON_S
+    of silence. Output matches batch sft_pairs(max_context_turns=K)
+    on in-order input (asserted in tests/test_streaming.py)."""
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        _sft_fn,
+        outputStructType=_SFT_OUT,
+        stateStructType=_SFT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -359,3 +359,95 @@ def test_stream_incremental_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("select * from inc_dedup").collect())
     assert got == [0, 1, 2, 3, 4, 90], got
+
+
+def test_stream_sft_pairs_matches_batch(spark, tmp_path):
+    """One availableNow pass over a turn stream produces exactly the
+    batch sft_pairs output at the same context bound (in-order input,
+    the module's ordering contract)."""
+    from eynollah_spark.fixtures.transcripts import CorpusSpec, generate_spark
+    from eynollah_spark.operators.text_analysis import sft_pairs
+    from eynollah_spark.streaming.jobs import (
+        SFT_STREAM_CONTEXT_TURNS,
+        stream_sft_pairs,
+    )
+
+    turns = generate_spark(spark, CorpusSpec(n_convs=10, seed=5)).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    d = str(tmp_path / "turns")
+    turns.coalesce(1).write.parquet(d)
+
+    st = spark.readStream.schema(turns.schema).parquet(d)
+    q = (
+        stream_sft_pairs(st)
+        .writeStream.format("memory")
+        .queryName("sftp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.prompt, r.response, r.n_context_turns)
+        for r in spark.sql("select * from sftp").collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.prompt, r.response, r.n_context_turns)
+        for r in sft_pairs(
+            turns, max_context_turns=SFT_STREAM_CONTEXT_TURNS
+        ).collect()
+    )
+    assert got and got == want
+
+
+def test_sft_fn_state_across_batches_and_replay():
+    """Context carries across micro-batches; the rolling buffer stays
+    bounded at K turns; a replayed turn_idx emits nothing twice."""
+    import pandas as pd
+
+    from eynollah_spark.streaming.jobs import SFT_STREAM_CONTEXT_TURNS, _sft_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def batch(idxs):
+        return pd.DataFrame(
+            {
+                "turn_idx": idxs,
+                "role": ["user" if i % 2 == 0 else "assistant" for i in idxs],
+                "text": [f"t{i}" for i in idxs],
+            }
+        )
+
+    state = FakeState()
+    out1 = list(_sft_fn(("c1",), iter([batch([0, 1])]), state))
+    assert out1[0]["prompt"].tolist() == ["user: t0"]
+    # batch 2 continues the same conversation AND replays turn 1
+    out2 = list(_sft_fn(("c1",), iter([batch([1, 2, 3])]), state))
+    assert out2[0]["turn_idx"].tolist() == [3]
+    assert out2[0]["prompt"].tolist() == ["user: t0\n\nassistant: t1\n\nuser: t2"]
+    # a long stream keeps only the last K turns in state
+    long = batch(list(range(4, 4 + 3 * SFT_STREAM_CONTEXT_TURNS)))
+    list(_sft_fn(("c1",), iter([long]), state))
+    ctx, last_idx = state.get
+    assert len(ctx) == SFT_STREAM_CONTEXT_TURNS
+    assert last_idx == 3 + 3 * SFT_STREAM_CONTEXT_TURNS
