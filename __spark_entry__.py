@@ -696,6 +696,26 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=BPE_TOP_N)
 
 
+PREF_GROUPS = 40
+PREF_MAX_PER_PROMPT = 3
+
+
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import preference_pairs
+
+    # plant prompt groups over the documents table: ~N docs share each
+    # prompt, their texts compete as candidate responses
+    cand = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("prompt-"), (F.col("doc_id") % PREF_GROUPS).cast("string")
+        ).alias("prompt"),
+        F.col("text").alias("response"),
+    )
+    return preference_pairs(cand, max_pairs_per_prompt=PREF_MAX_PER_PROMPT)
+
+
 NGRAM_DIVERSITY_N = 2
 
 
@@ -1220,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "ngram_diversity": _q_ngram_diversity,
+        "preference_pairs": _q_preference_pairs,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3098,6 +3119,37 @@ pairs AS (
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+    # preference_pairs: chosen/rejected construction over planted
+    # prompt groups; score is the whitespace token count of response
+    score_resp = n_ws.replace("text", "response")
+    sql["preference_pairs"] = f"""
+WITH cand AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+         'prompt-' || CAST(doc_id % {PREF_GROUPS} AS VARCHAR) AS prompt,
+         text AS response,
+         md5('prompt-' || CAST(doc_id % {PREF_GROUPS} AS VARCHAR)) AS pk
+  FROM documents
+),
+scored AS (SELECT *, {score_resp} AS score FROM cand),
+j AS (
+  SELECT a.pk, a.prompt, a.response AS chosen, b.response AS rejected,
+         a.score AS chosen_score, b.score AS rejected_score,
+         a.score - b.score AS margin,
+         a.conv_id AS ac, a.turn_idx AS ati,
+         b.conv_id AS bc, b.turn_idx AS bti
+  FROM scored a JOIN scored b
+    ON a.pk = b.pk AND a.score > b.score AND a.response <> b.response
+)
+SELECT pk, prompt, chosen, rejected, chosen_score, rejected_score, margin,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT j.*, row_number() OVER (
+           PARTITION BY pk ORDER BY margin DESC, ac, ati, bc, bti) AS rnk
+  FROM j
+)
+WHERE rnk <= {PREF_MAX_PER_PROMPT}
 """
 
     # ngram_diversity: distinct/total n-gram ratio per source

@@ -605,3 +605,65 @@ def ngram_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def preference_pairs(
+    pairs: DataFrame,
+    max_pairs_per_prompt: int = 3,
+) -> DataFrame:
+    """(prompt, chosen, rejected) preference data from an SFT-pair
+    table: two responses to the SAME prompt form a pair, the
+    higher-scoring one chosen (score = whitespace token count here;
+    swap in a reward column upstream). Ties are dropped — a pair with
+    no margin teaches nothing. Skew contract: the self-join key is
+    md5(prompt), and a per-prompt rank caps output at
+    ``max_pairs_per_prompt`` so one viral prompt with 10^5 responses
+    cannot go quadratic past the join itself; margin-desc rank keeps
+    the most-informative pairs.
+    """
+    from pyspark.sql import Window
+
+    p = pairs.select(
+        "conv_id",
+        "turn_idx",
+        "prompt",
+        "response",
+        token_count(F.col("response")).alias("score"),
+        F.md5("prompt").alias("pk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.score") > F.col("b.score"))
+        & (F.col("a.response") != F.col("b.response")),
+    ).select(
+        F.col("a.pk").alias("pk"),
+        F.col("a.prompt").alias("prompt"),
+        F.col("a.response").alias("chosen"),
+        F.col("b.response").alias("rejected"),
+        F.col("a.score").alias("chosen_score"),
+        F.col("b.score").alias("rejected_score"),
+        (F.col("a.score") - F.col("b.score")).alias("margin"),
+        F.col("a.conv_id").alias("_ac"),
+        F.col("a.turn_idx").alias("_at"),
+        F.col("b.conv_id").alias("_bc"),
+        F.col("b.turn_idx").alias("_bt"),
+    )
+    w = Window.partitionBy("pk").orderBy(
+        F.desc("margin"), "_ac", "_at", "_bc", "_bt"
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= max_pairs_per_prompt)
+        .select(
+            "pk",
+            "prompt",
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+            "rnk",
+        )
+    )

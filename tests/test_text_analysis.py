@@ -320,3 +320,29 @@ def test_ngram_diversity_detects_template_collapse(spark):
     assert out["loop"].n_grams == 7 and out["loop"].distinct_grams == 2
     assert out["varied"].diversity == 1.0
     assert out["loop"].diversity < 0.3
+
+
+def test_preference_pairs_margin_cap_and_ties(spark):
+    """Higher-score response is chosen; equal-score pairs are dropped;
+    per-prompt output is capped ranked by margin descending."""
+    from eynollah_spark.operators.text_analysis import preference_pairs
+
+    rows = [
+        # prompt p1: responses of 1, 3, 5 tokens -> 3 ordered pairs
+        ("c1", 0, "p1", "one"),
+        ("c2", 0, "p1", "three token reply"),
+        ("c3", 0, "p1", "five tokens in this reply"),
+        # prompt p2: two equal-length responses -> tie, no pair
+        ("c4", 0, "p2", "same size"),
+        ("c5", 0, "p2", "also size"),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, prompt string, response string"
+    )
+    out = preference_pairs(pairs, max_pairs_per_prompt=2).collect()
+    assert all(r.prompt == "p1" for r in out)
+    assert len(out) == 2  # cap trims the 3 candidate pairs to 2
+    assert all(r.chosen_score > r.rejected_score for r in out)
+    # margin-desc rank: the widest pair (5 vs 1) is rnk 1
+    top = next(r for r in out if r.rnk == 1)
+    assert top.margin == 4
