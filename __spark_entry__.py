@@ -696,6 +696,20 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=BPE_TOP_N)
 
 
+SPLIT_SEED = "split0"
+
+
+def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.sampling import assign_splits
+
+    return (
+        assign_splits(_docs(spark, sf_dir), seed=SPLIT_SEED)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
 PREF_GROUPS = 40
 PREF_MAX_PER_PROMPT = 3
 
@@ -1241,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "ngram_diversity": _q_ngram_diversity,
         "preference_pairs": _q_preference_pairs,
+        "split_counts": _q_split_counts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3119,6 +3134,17 @@ pairs AS (
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+    # split_counts: deterministic train/val/test assignment histogram
+    split_h = _h64sql(f"CAST(doc_id AS VARCHAR) || ':{SPLIT_SEED}'")
+    sql["split_counts"] = f"""
+WITH h AS (SELECT {split_h} % 1000000 AS hv FROM documents)
+SELECT CASE WHEN hv < 980000 THEN 'train'
+            WHEN hv < 990000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1 ORDER BY 1
 """
 
     # preference_pairs: chosen/rejected construction over planted

@@ -37,6 +37,7 @@ from eynollah_spark.operators.dedup import (
     paragraph_dedup,
 )
 from eynollah_spark.operators.sampling import (
+    assign_splits,
     train_shards,
     write_training_shards,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "contamination_check",
     "ngram_diversity",
     "sft_pairs",
+    "assign_splits",
     "train_shards",
     "write_training_shards",
     "pack_documents",

@@ -321,3 +321,32 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc's split is a
+    pure function of (id, seed) — layout-independent, stable across
+    reruns and cluster sizes, never leaking a doc across splits when
+    the corpus grows (an id keeps its split forever under a fixed
+    seed). Map-side only; weights are fractions summing to <= 1, any
+    remainder falls into the LAST listed split.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(weights)
+    h = F.pmod(
+        _h64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        F.lit(SAMPLE_MOD),
+    )
+    expr = None
+    hi = 0.0
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = h < F.lit(int(round(hi * SAMPLE_MOD)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.withColumn("split", split)

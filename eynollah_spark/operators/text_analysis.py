@@ -616,10 +616,11 @@ def preference_pairs(
     higher-scoring one chosen (score = whitespace token count here;
     swap in a reward column upstream). Ties are dropped — a pair with
     no margin teaches nothing. Skew contract: the self-join key is
-    md5(prompt), and a per-prompt rank caps output at
-    ``max_pairs_per_prompt`` so one viral prompt with 10^5 responses
-    cannot go quadratic past the join itself; margin-desc rank keeps
-    the most-informative pairs.
+    md5(prompt) and the per-prompt margin-desc rank caps OUTPUT at
+    ``max_pairs_per_prompt``; the join itself is still quadratic
+    within one prompt group, so for corpora with viral prompts cap
+    candidates upstream first (``sampling.per_group_quota`` on the
+    prompt key is the tool — it salt-bounds the hot group too).
     """
     from pyspark.sql import Window
 

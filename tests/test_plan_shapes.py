@@ -156,3 +156,37 @@ def test_substring_scrub_shuffles_on_hash_keys(spark):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(kh" in plan
     assert "specifiedwindowframe(RowFrame" in plan or "Window" in plan
+
+
+def test_bpe_pair_counts_is_two_agg_stages_no_bnlj(spark):
+    """Word-count then pair aggregation: partial aggregation before
+    each exchange, no nested-loop joins anywhere, and the final top-N
+    is TakeOrderedAndProject (no global sort of the pair table)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["bpe_pair_counts"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_preference_pairs_join_is_hash_on_pk(spark):
+    """The same-prompt self-join must be an equi hash/sort-merge join
+    on the md5 key — never a nested loop — and the cap window must be
+    hash-partitioned by pk (no single-partition window)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["preference_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(pk" in plan
+
+
+def test_train_shard_stats_single_agg_exchange(spark):
+    """Shard assignment is map-side; the manifest costs exactly one
+    hash exchange (the shard groupBy) plus partial aggregation."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["train_shards"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()

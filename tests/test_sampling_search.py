@@ -244,3 +244,29 @@ def test_write_training_shards_order_and_coverage(spark, tmp_path):
         pdf = pd.read_parquet(files[0])
         keys = pdf["shuffle_key"].tolist()
         assert keys == sorted(keys)
+
+
+def test_assign_splits_deterministic_and_stable_under_growth(spark):
+    """A doc's split is a pure function of (id, seed): the assignment
+    on a half corpus equals the assignment of the same ids in the full
+    corpus (no leakage when the corpus grows), and fractions land near
+    the requested weights."""
+    from eynollah_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r.doc_id: r.split for r in assign_splits(docs, w).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in assign_splits(docs.filter("doc_id % 2 = 0"), w).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    import collections
+
+    c = collections.Counter(full.values())
+    n = len(full)
+    assert 0.7 < c["train"] / n < 0.9
+    assert c["val"] > 0 and c["test"] > 0
+    # different seed reshuffles
+    other = {r.doc_id: r.split for r in assign_splits(docs, w, seed="s9").collect()}
+    assert other != full
