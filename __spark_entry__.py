@@ -1146,6 +1146,48 @@ def _q_e2e_extract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E2E_SHARDS = 8
+
+
+def _q_e2e_curate_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data journey as one declarative plan with
+    a full SQL oracle: transcripts -> simple-mode extraction ->
+    main-content reassembly -> quality gate -> deterministic
+    train-split assignment -> training shuffle -> per-shard manifest.
+    What a user ships to the trainer, end to end."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.operators.sampling import assign_splits, train_shard_stats
+
+    spans = extract_spans(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=1, small_fragment_max_len=0),
+    )
+    main = (
+        spans.filter(F.col("region_type").isin("text", "header"))
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("reading_order", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    gated = (
+        quality_features(main)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("conv_id", "text")
+    )
+    train = assign_splits(gated, id_col="conv_id", seed=SPLIT_SEED).filter(
+        F.col("split") == "train"
+    )
+    return train_shard_stats(
+        train, n_shards=E2E_SHARDS, seed=TRAIN_SHARDS_SEED, id_col="conv_id"
+    )
+
+
 def _q_extract_spans_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction family with an EXACT SQL oracle: in
     'simple mode' (max_columns=1 -> no column splits/deskew effects/
@@ -1295,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
         "e2e_extract_curate": _q_e2e_extract_curate,
+        "e2e_curate_to_shards": _q_e2e_curate_to_shards,
         "extract_spans_tables_simple": _q_extract_spans_tables_simple,
         "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
         "page_diags_simple": _q_page_diags_simple,
@@ -3554,6 +3597,39 @@ FROM (
   WHERE region_type IN ('text', 'header')
   GROUP BY conv_id)
 """
+    # e2e_curate_to_shards: the full journey to the trainer's shards
+    sql["e2e_curate_to_shards"] = f"""
+WITH curated AS (
+  SELECT conv_id, text,
+         round(least({n_ws} / 100.0, 1.0) * 0.4
+               + least({n_stop} / greatest({n_ws}, 1) * 5.0, 1.0) * 0.4
+               + (1.0 - least({n_punct} / greatest({n_chars}, 1) * 4.0, 1.0)) * 0.2,
+               6) AS q
+  FROM (
+    SELECT conv_id, string_agg(text, chr(10) ORDER BY reading_order) AS text
+    FROM ({_simple_prefix(False) + _spans_final}) es
+    WHERE region_type IN ('text', 'header')
+    GROUP BY conv_id) reasm
+),
+gated AS (
+  SELECT conv_id, text FROM curated
+  WHERE q >= 0.5
+    AND {_h64sql(f"conv_id || ':{SPLIT_SEED}'")} % 1000000 < 980000
+),
+keyed AS (
+  SELECT text,
+         {_h64sql(f"conv_id || ':{TRAIN_SHARDS_SEED}'")} AS shuffle_key
+  FROM gated
+)
+SELECT CAST(shuffle_key % {E2E_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum({n_ws}) AS BIGINT) AS total_tokens,
+       min(shuffle_key) AS min_key,
+       max(shuffle_key) AS max_key,
+       bit_xor(shuffle_key) AS key_xor
+FROM keyed GROUP BY 1 ORDER BY 1
+"""
+
     # tables variant (-tab in simple mode): table classification, run
     # grouping and §12 fusion live in the same CTE chain. NOTE: a
     # separator line is single-token through the 8-token wrap, so the
