@@ -696,6 +696,18 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=BPE_TOP_N)
 
 
+CHUNK_TOKENS = 24
+CHUNK_STRIDE = 16
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eynollah_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
 SPLIT_SEED = "split0"
 
 
@@ -1298,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "preference_pairs": _q_preference_pairs,
         "split_counts": _q_split_counts,
+        "chunk_documents": _q_chunk_documents,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "incremental_dedup": _q_incremental_dedup,
@@ -3177,6 +3190,21 @@ pairs AS (
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 ORDER BY n DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+    # chunk_documents: overlapping fixed-window chunking of long docs
+    sql["chunk_documents"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(toks) - st) AS INT) AS n_tokens,
+       array_to_string(
+         toks[CAST(st + 1 AS INT):CAST(st + {CHUNK_TOKENS} AS INT)], ' ')
+         AS chunk_text
+FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS r(st)
 """
 
     # split_counts: deterministic train/val/test assignment histogram

@@ -43,10 +43,12 @@ from eynollah_spark.operators.sampling import (
 )
 from eynollah_spark.operators.text_analysis import (
     bpe_pair_counts,
+    chunk_documents,
     contamination_check,
     ngram_diversity,
     pack_documents,
     pii_scrub,
+    preference_pairs,
     quality_features,
     repetition_stats,
     sft_pairs,
@@ -65,8 +67,10 @@ __all__ = [
     "near_dup_clusters",
     "paragraph_dedup",
     "bpe_pair_counts",
+    "chunk_documents",
     "contamination_check",
     "ngram_diversity",
+    "preference_pairs",
     "sft_pairs",
     "assign_splits",
     "train_shards",

@@ -668,3 +668,44 @@ def preference_pairs(
             "rnk",
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-window chunking with overlap — the long-document
+    complement of ``pack_documents`` (that packs SHORT docs up to a
+    context length; this splits LONG docs across it, stride < chunk
+    giving the training/embedding overlap). One chunk per window
+    start (0, stride, 2*stride, ... while < n_tokens); pure map-side
+    explode, zero shuffles, no length cap on the input doc.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        docs.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(starts).alias("_st"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_st") / stride).cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_st")).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice("_toks", F.col("_st") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )

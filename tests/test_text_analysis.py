@@ -346,3 +346,35 @@ def test_preference_pairs_margin_cap_and_ties(spark):
     # margin-desc rank: the widest pair (5 vs 1) is rnk 1
     top = next(r for r in out if r.rnk == 1)
     assert top.margin == 4
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Windows start every stride tokens, overlap chunk-stride tokens,
+    tail chunks are short, sub-chunk docs give one chunk."""
+    from eynollah_spark.operators.text_analysis import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny doc"), (3, "")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    )
+    d1 = [r for r in out if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][3] == "w0 w1 w2 w3"
+    assert d1[1][3] == "w3 w4 w5 w6"  # one-token overlap (4-3)
+    assert d1[3] == (1, 3, 1, "w9")  # short tail
+    assert [r for r in out if r[0] == 2] == [(2, 0, 2, "tiny doc")]
+    assert not [r for r in out if r[0] == 3]
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from eynollah_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
