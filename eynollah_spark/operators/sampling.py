@@ -337,6 +337,8 @@ def assign_splits(
     remainder falls into the LAST listed split.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or min(weights.values()) < 0 or sum(weights.values()) > 1 + 1e-9:
+        raise ValueError("split weights must be non-negative and sum to <= 1")
     names = list(weights)
     h = F.pmod(
         _h64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),

@@ -373,8 +373,9 @@ def _sft_fn(
     turns; each arriving assistant turn emits one (prompt, response)
     pair against the buffer as it stood BEFORE the turn — byte-equal
     to the batch sft_pairs frame semantics when turns arrive in
-    order. Replayed/duplicate turn_idx values are skipped (micro-batch
-    retries don't double-emit)."""
+    order (and, like the whole module, assumes non-null text — the
+    extraction output guarantees it). Replayed/duplicate turn_idx
+    values are skipped (micro-batch retries don't double-emit)."""
     (conv_id,) = key
     if state.hasTimedOut:
         state.remove()
