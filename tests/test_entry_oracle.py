@@ -272,3 +272,53 @@ def test_simple_oracle_family_randomized_corpus(spark, tmp_path):
         mism = [(a, b) for a, b in zip(sn, dn) if a != b]
         assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
     con.close()
+
+
+def test_training_ops_oracle_family_randomized_corpus(spark, tmp_path):
+    """Randomized-corpus parity for the training-assembly oracle
+    family (shards/splits/chunks/BPE/diversity/preferences/SFT/e2e):
+    150 seeded random docs with unicode, punctuation-heavy tokens,
+    stopwords from every lexicon language and giant words, pushed
+    through Spark AND DuckDB per query."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = [
+        "word", "the", "und", "der", "le", "el", "é", "ü", "naïve",
+        "…", "a", "bb", "x9", "!!", "a.b,c", "--", "(x)", "§", "##",
+        "w" * 25, "1234", "mixedCASE", "¿qué?", "end.",
+    ]
+    rng = np.random.RandomState(4321)
+    docs = []
+    for i in range(150):
+        n = int(rng.randint(1, 60))
+        toks = [vocab[j] for j in rng.randint(0, len(vocab), n)]
+        docs.append((i, " ".join(toks), "l%d" % (i % 3), "s%d" % (i % 5), n))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    for qname in (
+        "train_shards",
+        "split_counts",
+        "chunk_documents",
+        "bpe_pair_counts",
+        "ngram_diversity",
+        "preference_pairs",
+        "sft_pairs",
+        "e2e_curate_to_shards",
+    ):
+        sdf = entrymod.queries()[qname](spark, str(tmp_path))
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.sql(entrymod.oracle_sql()[qname])
+        dcols = res.columns
+        drows = res.fetchall()
+        sn = _normalize(srows, scols)
+        dn = _normalize(drows, dcols)
+        assert len(sn) == len(dn), f"{qname}: {len(sn)} vs {len(dn)}"
+        mism = [(a, b) for a, b in zip(sn, dn) if a != b]
+        assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
+    con.close()
