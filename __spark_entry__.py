@@ -73,6 +73,7 @@ CURATION_LM_MAX = 4.62  # bigram-LM cross-entropy cap (bits), ~p90 at sf0.01
 SUBSTR_MAXF = 1  # windows seen more than this often are duplicates
 SIMHASH_MIN_TOKENS = 3  # near-empty docs excluded from banding
 SIMHASH_MAX_BAND_FREQ = 1000  # per-band hot-bucket cap (skew guard)
+MINHASH_MAX_BAND_FREQ = 1000  # (band, bsig) hot-bucket cap (skew guard)
 TOPK_K = 5
 TOPK_QUERY_MAX_ID = 8  # queries = vec_id < 8
 LINES_PER_TURN = 4
@@ -396,6 +397,7 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_N,
         bands=MINHASH_BANDS,
         threshold=JACCARD_T,
+        max_band_freq=MINHASH_MAX_BAND_FREQ,
     )
 
 
@@ -406,6 +408,7 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_N,
         bands=MINHASH_BANDS,
         threshold=CLUSTER_T,
+        max_band_freq=MINHASH_MAX_BAND_FREQ,
     )
 
 
@@ -423,6 +426,7 @@ def _q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_N,
         bands=MINHASH_BANDS,
         threshold=CLUSTER_T,
+        max_band_freq=MINHASH_MAX_BAND_FREQ,
     ).select("doc_id", "cluster_id")
     q = quality_features(d).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -619,7 +623,9 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.dedup import incremental_dedup
 
     new, idx = _inc_frames(spark, sf_dir)
-    return incremental_dedup(new, idx, threshold=JACCARD_T)
+    return incremental_dedup(
+        new, idx, threshold=JACCARD_T, max_band_freq=MINHASH_MAX_BAND_FREQ
+    )
 
 
 BLOOM_M = 1 << 10  # deliberately small so false positives are observable
@@ -2440,9 +2446,14 @@ bands AS (
          md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bsig
   FROM mh GROUP BY doc_id, i // {MINHASH_N // MINHASH_BANDS}
 ),
+bandsc AS (
+  SELECT doc_id, band, bsig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bsig) AS bf FROM bands
+  ) WHERE bf <= {MINHASH_MAX_BAND_FREQ}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bandsc a JOIN bandsc b
     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 ),
 msizes AS (SELECT doc_id, count(*) AS n_sh FROM mhb GROUP BY doc_id),
@@ -3021,48 +3032,57 @@ newd AS (
     # incremental_dedup: asymmetric new-vs-index exact + MinHash-LSH
     # gates over the plant-augmented corpus (mirror of
     # _q_incremental_dedup + operators/dedup.incremental_dedup).
-    sql["incremental_dedup"] = f"""
-WITH {_inc_split},
-alld AS (SELECT * FROM newd UNION ALL SELECT * FROM idx),
-ish AS (
+    # Universes, signatures, bands and hot-bucket caps are PER SIDE —
+    # same as the operator, so a doc_id shared by both snapshots never
+    # merges two versions' shingle sets.
+    def _inc_side(p: str, src: str) -> str:
+        return f"""{p}sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(
              range(greatest(len(tk) - 3, 0) + 1),
              i -> array_to_string(tk[i+1 : i+3], ' '))) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM alld)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM {src})
   ) WHERE length(shingle) > 0
 ),
-imhb AS (SELECT DISTINCT doc_id, {_h64sql("shingle")} AS hb FROM ish),
-imh AS (
+{p}mhb AS (SELECT DISTINCT doc_id, {_h64sql("shingle")} AS hb FROM {p}sh),
+{p}mh AS (
   SELECT doc_id, p.i, min({minhash_mix}) AS h
-  FROM imhb, (VALUES {perm_rows}) AS p(i, k, r)
+  FROM {p}mhb, (VALUES {perm_rows}) AS p(i, k, r)
   GROUP BY doc_id, p.i
 ),
-ibands AS (
+{p}bands AS (
   SELECT doc_id, i // {MINHASH_N // MINHASH_BANDS} AS band,
          md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bsig
-  FROM imh GROUP BY doc_id, i // {MINHASH_N // MINHASH_BANDS}
+  FROM {p}mh GROUP BY doc_id, i // {MINHASH_N // MINHASH_BANDS}
 ),
-nb AS (SELECT b.* FROM ibands b JOIN newd n USING (doc_id)),
-ib AS (SELECT b.* FROM ibands b JOIN idx x USING (doc_id)),
+{p}bc AS (
+  SELECT doc_id, band, bsig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bsig) AS bf FROM {p}bands
+  ) WHERE bf <= {MINHASH_MAX_BAND_FREQ}
+),
+{p}sz AS (SELECT doc_id, count(*) AS n_sh FROM {p}mhb GROUP BY doc_id)"""
+
+    sql["incremental_dedup"] = f"""
+WITH {_inc_split},
+{_inc_side("n", "newd")},
+{_inc_side("x", "idx")},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM nb a JOIN ib b ON a.band = b.band AND a.bsig = b.bsig
+  FROM nbc a JOIN xbc b ON a.band = b.band AND a.bsig = b.bsig
 ),
-isz AS (SELECT doc_id, count(*) AS n_sh FROM imhb GROUP BY doc_id),
 vint AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cand c
-  JOIN imhb a ON a.doc_id = c.doc_a
-  JOIN imhb b ON b.doc_id = c.doc_b AND b.hb = a.hb
+  JOIN nmhb a ON a.doc_id = c.doc_a
+  JOIN xmhb b ON b.doc_id = c.doc_b AND b.hb = a.hb
   GROUP BY 1, 2
 ),
 near AS (
   SELECT DISTINCT doc_a AS doc_id
   FROM vint
-  JOIN isz sa ON sa.doc_id = vint.doc_a
-  JOIN isz sb ON sb.doc_id = vint.doc_b
+  JOIN nsz sa ON sa.doc_id = vint.doc_a
+  JOIN xsz sb ON sb.doc_id = vint.doc_b
   WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {JACCARD_T}
 ),
 ex AS (

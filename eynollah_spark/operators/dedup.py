@@ -109,15 +109,36 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFra
 # ---------------------------------------------------------------------------
 # 1. exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
-def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids)."""
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", sample_ids: int = 10
+) -> DataFrame:
+    """Groups of byte-identical documents:
+    (text_hash, n_docs, keep_doc_id, doc_ids_sample).
+
+    Row width AND aggregation-buffer width are O(sample_ids), not
+    O(group size): a 10M-copy boilerplate document yields one row with
+    n_docs=10M, the minimum doc_id to keep, and at most ``sample_ids``
+    example ids. The rank filter runs BEFORE the collect, so no
+    10M-element array is ever materialized in a buffer; the groupBy
+    reuses the window's text_hash exchange."""
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = df.select(
+        F.md5(F.col(text_col)).alias("text_hash"), "doc_id"
+    ).select(
+        "text_hash",
+        "doc_id",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("text_hash")).alias("_n"),
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        ranked.filter(F.col("_n") > 1)
+        .filter(F.col("_rn") <= sample_ids)
+        .groupBy("text_hash")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.max("_n").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids_sample"),
         )
-        .filter(F.col("n_docs") > 1)
     )
 
 
@@ -234,7 +255,30 @@ def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("doc_id", "n_sh", "bs.band", "bs.bsig")
 
 
-def _verify_jaccard(shb: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _cap_bands(banded: DataFrame, max_band_freq: int | None) -> DataFrame:
+    """Hot-bucket guard for banded LSH joins: drop docs from any
+    (band, bsig) bucket larger than ``max_band_freq`` — from that band
+    only (they still pair through their other bands), the standard
+    hot-bucket skip of banded LSH. Without it a templated corpus where
+    d copies share every band yields O(d^2) candidate rows per bucket
+    before verification ever runs. The count window is keyed on
+    exactly the (band, bsig) columns the downstream join shuffles on,
+    so the exchange is reused, not added (same pattern as simhash's
+    ``max_band_freq`` and jaccard's ``max_doc_freq``). None = uncapped
+    small-scale semantics."""
+    if max_band_freq is None:
+        return banded
+    wb = Window.partitionBy("band", "bsig")
+    return (
+        banded.withColumn("_bf", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bf") <= max_band_freq)
+        .drop("_bf")
+    )
+
+
+def _verify_jaccard(
+    shb: DataFrame, cand: DataFrame, threshold: float, shb_b: DataFrame | None = None
+) -> DataFrame:
     """Jaccard verification of LSH candidate pairs over the hb domain.
 
     ``shb`` is the (doc_id, hb) distinct-shingle-hash universe
@@ -246,11 +290,18 @@ def _verify_jaccard(shb: DataFrame, cand: DataFrame, threshold: float) -> DataFr
     set: on a near-dup-heavy corpus a hot band makes candidates
     unbounded, so AQE decides broadcast-vs-shuffle from the measured
     size at runtime.
+
+    ``shb_b``: optional separate universe for the doc_b side. The
+    asymmetric callers (incremental_dedup) pass per-side universes so
+    a doc_id that appears on BOTH sides (a recrawled page keeping its
+    stable id) never merges two versions' shingle sets under one id.
     """
+    if shb_b is None:
+        shb_b = shb
     docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
     docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     sh_a = shb.join(docs_a, "doc_id")
-    sh_b = shb.join(docs_b, "doc_id")
+    sh_b = shb_b.join(docs_b, "doc_id")
     inter = (
         sh_a.alias("a")
         .join(cand, F.col("a.doc_id") == F.col("doc_a"))
@@ -281,14 +332,26 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
     shingle->minhash (map-side) -> explode bands -> shuffle on band
     signature -> within-bucket self-join (tiny) -> exact verify join.
+
+    ``max_band_freq`` bounds the quadratic hot-bucket blow-up: exact
+    duplicates share EVERY band, so a million-copy boilerplate doc
+    would put 1M rows in one (band, bsig) bucket and the self-join
+    would emit 10^12 candidates. Buckets above the cap are skipped per
+    band (see ``_cap_bands``); worst-case fan-out per bucket becomes
+    max_band_freq^2. The DuckDB oracle mirrors the cap. Pass None for
+    uncapped small-scale semantics.
     """
     rows = num_hashes // bands
-    banded = _banded(minhash_signatures(df, text_col, k, num_hashes), bands, rows)
+    banded = _cap_bands(
+        _banded(minhash_signatures(df, text_col, k, num_hashes), bands, rows),
+        max_band_freq,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -317,12 +380,19 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Cross-snapshot dedup: flag each NEW doc that duplicates the
     existing INDEX corpus — the incremental-crawl shape (a fresh
     snapshot arrives; only new-vs-index comparisons run, never
     index-vs-index). Reference analog: the same dedup the batch
     operators do, restricted to one asymmetric frontier.
+
+    Only (doc_id, text_col) are consumed — extra columns on either
+    frame are ignored, and a doc_id appearing on BOTH sides (a
+    recrawled page keeping its stable id) is verified against per-side
+    shingle universes, never a merged one. ``max_band_freq`` caps hot
+    (band, bsig) buckets per side (see ``_cap_bands``).
 
     Two gates, both deterministic:
     - ``dup_exact``: md5(text) left-semi join against the index's
@@ -341,6 +411,8 @@ def incremental_dedup(
 
     Returns one row per NEW doc: (doc_id, dup_exact, dup_near, kept).
     """
+    new_docs = new_docs.select("doc_id", text_col)
+    index_docs = index_docs.select("doc_id", text_col)
     rows = num_hashes // bands
     exact = (
         new_docs.select("doc_id", F.md5(F.col(text_col)).alias("_h"))
@@ -352,8 +424,14 @@ def incremental_dedup(
         .select("doc_id")
         .withColumn("dup_exact", F.lit(True))
     )
-    bn = _banded(minhash_signatures(new_docs, text_col, k, num_hashes), bands, rows)
-    bi = _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows)
+    bn = _cap_bands(
+        _banded(minhash_signatures(new_docs, text_col, k, num_hashes), bands, rows),
+        max_band_freq,
+    )
+    bi = _cap_bands(
+        _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows),
+        max_band_freq,
+    )
     cand = (
         bn.alias("a")
         .join(
@@ -369,9 +447,13 @@ def incremental_dedup(
         )
         .distinct()
     )
-    shb = shingle_hashes(new_docs.unionByName(index_docs), text_col, k)
     near = (
-        _verify_jaccard(shb, cand, threshold)
+        _verify_jaccard(
+            shingle_hashes(new_docs, text_col, k),
+            cand,
+            threshold,
+            shb_b=shingle_hashes(index_docs, text_col, k),
+        )
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("dup_near", F.lit(True))
@@ -400,6 +482,7 @@ def near_dup_clusters(
     bands: int = 4,
     threshold: float = 0.5,
     max_iters: int = 20,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Cluster near-duplicate documents: MinHash-LSH pairs form an
     undirected graph; connected components are computed by iterative
@@ -437,7 +520,13 @@ def near_dup_clusters(
             "bigint first"
         )
     pairs = minhash_lsh_pairs(
-        df, text_col, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+        df,
+        text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_freq=max_band_freq,
     )
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
