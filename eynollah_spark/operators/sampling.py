@@ -336,7 +336,10 @@ def assign_splits(
     seed). Map-side only; weights are fractions summing to <= 1, any
     remainder falls into the LAST listed split.
     """
-    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # `is None` (not falsy) so an explicitly-passed {} reaches the
+    # validation error below instead of silently getting the defaults
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights or min(weights.values()) < 0 or sum(weights.values()) > 1 + 1e-9:
         raise ValueError("split weights must be non-negative and sum to <= 1")
     names = list(weights)

