@@ -80,10 +80,17 @@ LINES_PER_TURN = 4
 EMB_DIM = 64
 NEAR_DUP_T = 0.2
 NEAR_DUP_PLANES = 4
-LSH_PLANES = 5
+# ANN knobs, tuned for recall@k >= 0.8 on the driver embeddings (which
+# are near-uniform random — mean off-diagonal cosine ~0 — so recall is
+# fundamentally bounded by the candidate-scan fraction; ann_recall
+# surfaces that cost explicitly as avg_candidates / scan_frac):
+#   LSH 7 planes x 3 tables + multi-probe Hamming<=2 -> recall 0.85
+#   IVF 32 cells, probe 18                           -> recall 0.85
+LSH_PLANES = 7
 LSH_TABLES = 3
-IVF_CENTROIDS = 16
-IVF_PROBE = 4
+LSH_PROBE_R = 2  # multi-probe Hamming radius (Lv et al. 2007)
+IVF_CENTROIDS = 32
+IVF_PROBE = 18
 PROBE_DENSITY_MIN = 30.0  # chars/line; the DPI_THRESHOLD=298 analog
 
 
@@ -513,6 +520,10 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_M = 4  # subspaces: EMB_DIM/PQ_M = 16-dim subvectors
+PQ_K = 16  # per-subspace codebook size (larger than KMEANS_K: a 16-dim
+#            subspace quantized to 8 cells loses too much resolution)
+PQ_RERANK = 150  # ADC shortlist exact-re-ranked (Jégou et al. §V.C) —
+#            with PQ_K=16 this lifts recall@5 from ~0.05 to >=0.8
 
 
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,13 +534,14 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_codes(
-        e, dim=EMB_DIM, m=PQ_M, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+        e, dim=EMB_DIM, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
     )
 
 
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ top-k (full-precision query vs PQ
-    reconstructions) — the compressed-index ANN path."""
+    reconstructions, ADC shortlist exact-re-ranked) — the
+    compressed-index ANN path."""
     from eynollah_spark.operators.similarity import pq_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -539,9 +551,10 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q,
         dim=EMB_DIM,
         m=PQ_M,
-        k=KMEANS_K,
+        k=PQ_K,
         iters=KMEANS_ITERS,
         k_results=TOPK_K,
+        rerank=PQ_RERANK,
         scale=KMEANS_SCALE,
     )
     return out.select(
@@ -861,7 +874,15 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_double(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
-    out = lsh_topk(e, q, dim=EMB_DIM, k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES)
+    out = lsh_topk(
+        e,
+        q,
+        dim=EMB_DIM,
+        k=TOPK_K,
+        n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES,
+        probe_hamming=LSH_PROBE_R,
+    )
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
@@ -921,23 +942,70 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality probe: recall@k of the two approximate indexes
-    (IVF and multi-table hyperplane LSH) against the brute-force
-    ground truth, per index — the evaluation loop an ANN deployment
-    runs before trusting an index at corpus scale. One row per index:
-    (index_name, recall_at_k, n_pairs)."""
+    """Index-quality probe: recall@k of each approximate index (IVF,
+    multi-probe LSH, PQ/ADC) against the brute-force ground truth —
+    the evaluation loop an ANN deployment runs before trusting an
+    index at corpus scale. One row per index with the probe COST
+    alongside the recall (an index evaluated on recall alone always
+    "improves" by scanning more):
+
+    - probes_per_query: index cells consulted per query (IVF cells
+      probed; LSH buckets probed across tables; PQ's m*k ADC
+      lookup-table entries).
+    - avg_candidates: mean number of candidates exact-scored per query.
+    - scan_frac: avg_candidates / (corpus_size - 1) — the fraction of
+      the corpus a query touches (the number that must stay << 1 at
+      10^9 vectors; on this near-uniform synthetic corpus recall 0.85
+      costs ~0.5, which is exactly what this output is for surfacing).
+    """
+    from eynollah_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+        probe_masks,
+    )
+
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    eraw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qraw = eraw.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     truth = _q_topk(spark, sf_dir).select("query_id", "vec_id")
+    n_corp = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    specs = (
+        (
+            "ivf",
+            ivf_topk(
+                e, q, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+                with_cost=True,
+            ),
+            IVF_PROBE,
+        ),
+        (
+            "lsh",
+            lsh_topk(
+                e, q, dim=EMB_DIM, k=TOPK_K, n_planes=LSH_PLANES,
+                n_tables=LSH_TABLES, probe_hamming=LSH_PROBE_R, with_cost=True,
+            ),
+            len(probe_masks(LSH_PLANES, LSH_PROBE_R)) * LSH_TABLES,
+        ),
+        (
+            "pq",
+            pq_topk(
+                eraw, qraw, dim=EMB_DIM, m=PQ_M, k=PQ_K,
+                iters=KMEANS_ITERS, k_results=TOPK_K, rerank=PQ_RERANK,
+                scale=KMEANS_SCALE, with_cost=True,
+            ),
+            PQ_M * PQ_K,
+        ),
+    )
     out = None
-    for name, qfn in (
-        ("ivf", _q_ann_ivf_topk),
-        ("lsh", _q_ann_lsh_topk),
-        ("pq", _q_ann_pq_topk),
-    ):
-        approx = qfn(spark, sf_dir).select(
-            "query_id", "vec_id", F.lit(1).alias("_hit")
-        )
-        r = (
-            truth.join(approx, ["query_id", "vec_id"], "left")
+    for name, approx, probes in specs:
+        recall = (
+            truth.join(
+                approx.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+                ["query_id", "vec_id"],
+                "left",
+            )
             .agg(
                 F.lit(name).alias("index_name"),
                 F.round(
@@ -946,6 +1014,25 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("recall_at_k"),
                 F.count(F.lit(1)).alias("n_pairs"),
+            )
+        )
+        cost = (
+            approx.groupBy("query_id")
+            .agg(F.max("n_candidates").alias("nc"))
+            .agg(F.avg("nc").alias("_avg_nc"))
+        )
+        r = (
+            recall.crossJoin(F.broadcast(cost))
+            .crossJoin(F.broadcast(n_corp))
+            .select(
+                "index_name",
+                "recall_at_k",
+                "n_pairs",
+                F.lit(probes).cast("int").alias("probes_per_query"),
+                F.round(F.col("_avg_nc"), 6).alias("avg_candidates"),
+                F.round(
+                    F.col("_avg_nc") / (F.col("n_corpus") - 1), 6
+                ).alias("scan_frac"),
             )
         )
         out = r if out is None else out.unionByName(r)
@@ -2648,7 +2735,13 @@ s AS (
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= {NEAR_DUP_T}
 """
 
-    sql["ann_lsh_topk"] = f"""
+    # multi-probe perturbation masks (mirror of similarity.probe_masks)
+    from eynollah_spark.operators.similarity import probe_masks as _probe_masks
+
+    _LSH_MASKS = ", ".join(str(m) for m in _probe_masks(LSH_PLANES, LSH_PROBE_R))
+    # full body keeps the per-query candidate count so ann_recall can
+    # report the probe cost; the plain topk query projects it away
+    _lsh_full = f"""
 WITH {_E_CTE},
 planes AS (
   SELECT t, i,
@@ -2664,24 +2757,33 @@ buckets AS (
            AS bucket
   FROM e, planes GROUP BY e.vec_id, planes.t
 ),
+qprobe AS (
+  SELECT qb.vec_id, qb.t, xor(qb.bucket, CAST(m.mask AS BIGINT)) AS bucket
+  FROM buckets qb, (SELECT unnest([{_LSH_MASKS}]) AS mask) m
+  WHERE qb.vec_id < {TOPK_QUERY_MAX_ID}
+),
 cand AS (
-  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
-  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-  WHERE qb.vec_id < {TOPK_QUERY_MAX_ID} AND cb.vec_id <> qb.vec_id
+  SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM qprobe qp JOIN buckets cb ON qp.t = cb.t AND qp.bucket = cb.bucket
+  WHERE cb.vec_id <> qp.vec_id
 ),
 s AS (
   SELECT query_id, c.vec_id, {_COS.format(a='qe', b='ce')} AS cosine
   FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
 )
-SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank, n_candidates FROM (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, vec_id ASC) AS rk
+                            ORDER BY cosine DESC, vec_id ASC) AS rk,
+         count(*) OVER (PARTITION BY query_id) AS n_candidates
   FROM s)
 WHERE rk <= {TOPK_K}
 """
+    sql["ann_lsh_topk"] = (
+        f"SELECT query_id, vec_id, cosine, rank FROM ({_lsh_full})"
+    )
 
-    sql["ann_ivf_topk"] = f"""
+    _ivf_full = f"""
 WITH {_E_CTE},
 h AS (
   SELECT vec_id, v,
@@ -2727,13 +2829,17 @@ s AS (
   SELECT query_id, c.vec_id, {_COS.format(a='qe', b='ce')} AS cosine
   FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.vec_id
 )
-SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank FROM (
+SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank, n_candidates FROM (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, vec_id ASC) AS rk
+                            ORDER BY cosine DESC, vec_id ASC) AS rk,
+         count(*) OVER (PARTITION BY query_id) AS n_candidates
   FROM s)
 WHERE rk <= {TOPK_K}
 """
+    sql["ann_ivf_topk"] = (
+        f"SELECT query_id, vec_id, cosine, rank FROM ({_ivf_full})"
+    )
 
     # ann_recall is composed AFTER the pq oracle exists (it embeds the
     # ivf/lsh/pq topk bodies as subqueries) — see below.
@@ -2874,7 +2980,7 @@ r{s} AS (
 c0_{s} AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS centroid_id,
          v AS cvec
-  FROM (SELECT * FROM r{s} ORDER BY h, vec_id LIMIT {KMEANS_K})
+  FROM (SELECT * FROM r{s} ORDER BY h, vec_id LIMIT {PQ_K})
 ),
 a0_{s} AS ({_k_assign(f'c0_{s}', f'e{s}', _pq_sub)}),
 c1_{s} AS ({_k_sums(f'a0_{s}')}),
@@ -2919,45 +3025,71 @@ SELECT vec_id, {", ".join(f"code{s}" for s in range(PQ_M))},
 FROM recon
 """
 
-    sql["ann_pq_topk"] = f"""
+    _pq_full = f"""
 WITH {_pq_common},
 q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id < {TOPK_QUERY_MAX_ID}),
 s AS (
   SELECT q.query_id, r.vec_id,
-         round({_kcos_d(EMB_DIM, 'q.qv', 'r.rvec')}, 6) AS score
+         round({_kcos_d(EMB_DIM, 'q.qv', 'r.rvec')}, 6) AS adc
   FROM recon r, q WHERE r.vec_id <> q.query_id
+),
+short AS (
+  SELECT query_id, vec_id, n_candidates FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, vec_id ASC) AS srk,
+           count(*) OVER (PARTITION BY query_id) AS n_candidates
+    FROM s)
+  WHERE srk <= {PQ_RERANK}
+),
+rer AS (
+  SELECT sh.query_id, sh.vec_id, sh.n_candidates,
+         round({_kcos_d(EMB_DIM, 'q.qv', 'ev.v')}, 6) AS score
+  FROM short sh
+  JOIN ef ev ON ev.vec_id = sh.vec_id
+  JOIN q ON q.query_id = sh.query_id
 )
-SELECT query_id, vec_id, score, CAST(rk AS INT) AS rank FROM (
+SELECT query_id, vec_id, score, CAST(rk AS INT) AS rank, n_candidates FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, vec_id ASC) AS rk
-  FROM s)
+  FROM rer)
 WHERE rk <= {TOPK_K}
 """
+    sql["ann_pq_topk"] = (
+        f"SELECT query_id, vec_id, score, rank FROM ({_pq_full})"
+    )
 
-    # ann_recall: recall@k of each approximate index vs brute force —
-    # composes the three topk oracle bodies as subqueries
-    sql["ann_recall"] = f"""
-WITH tr AS (SELECT query_id, vec_id FROM ({sql["embedding_topk"]})),
-aivf AS (SELECT query_id, vec_id FROM ({sql["ann_ivf_topk"]})),
-alsh AS (SELECT query_id, vec_id FROM ({sql["ann_lsh_topk"]})),
-apq AS (SELECT query_id, vec_id FROM ({sql["ann_pq_topk"]}))
-SELECT 'ivf' AS index_name,
-       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    # ann_recall: recall@k + probe cost of each approximate index vs
+    # brute force — composes the three cost-bearing topk bodies as
+    # subqueries (mirror of _q_ann_recall: probes_per_query is the
+    # knob-derived cells-consulted count, avg_candidates the mean
+    # per-query exact-scored candidate count, scan_frac that mean over
+    # corpus_size - 1)
+    _LSH_PROBES = len(_probe_masks(LSH_PLANES, LSH_PROBE_R)) * LSH_TABLES
+
+    def _recall_arm(name: str, body: str, probes: int) -> str:
+        return f"""
+SELECT '{name}' AS index_name,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
              / count(*), 6) AS recall_at_k,
-       count(*) AS n_pairs
-FROM tr LEFT JOIN aivf i USING (query_id, vec_id)
+       count(*) AS n_pairs,
+       CAST({probes} AS INT) AS probes_per_query,
+       (SELECT round(avg(nc), 6) FROM
+          (SELECT query_id, max(n_candidates) AS nc FROM ({body})
+           GROUP BY query_id)) AS avg_candidates,
+       (SELECT round(avg(nc) / ((SELECT count(*) FROM embeddings) - 1), 6) FROM
+          (SELECT query_id, max(n_candidates) AS nc FROM ({body})
+           GROUP BY query_id)) AS scan_frac
+FROM tr LEFT JOIN (SELECT query_id, vec_id FROM ({body})) a
+     USING (query_id, vec_id)
+"""
+
+    sql["ann_recall"] = f"""
+WITH tr AS (SELECT query_id, vec_id FROM ({sql["embedding_topk"]}))
+{_recall_arm("ivf", _ivf_full, IVF_PROBE)}
 UNION ALL
-SELECT 'lsh',
-       round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*), 6),
-       count(*)
-FROM tr LEFT JOIN alsh l USING (query_id, vec_id)
+{_recall_arm("lsh", _lsh_full, _LSH_PROBES)}
 UNION ALL
-SELECT 'pq',
-       round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*), 6),
-       count(*)
-FROM tr LEFT JOIN apq p USING (query_id, vec_id)
+{_recall_arm("pq", _pq_full, PQ_M * PQ_K)}
 """
 
     # dsir_select: bucket histograms + add-one-smoothed log-likelihood

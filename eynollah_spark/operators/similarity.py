@@ -99,6 +99,13 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8):
     return bucket
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All bit masks over ``n_planes`` bits with popcount <=
+    ``probe_hamming`` — the multi-probe perturbation set (Lv et al.
+    2007, "Multi-Probe LSH"). Mask 0 is the home bucket."""
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,18 +113,30 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     n_tables: int = 2,
+    probe_hamming: int = 0,
+    with_cost: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: standard multi-table LSH. Each of `n_tables`
-    independent hash tables buckets the corpus by `n_planes` hyperplane
-    signs; a query probes its bucket in every table, candidates are
+    """Approximate top-k: standard multi-table LSH with multi-probe.
+    Each of `n_tables` independent hash tables buckets the corpus by
+    `n_planes` hyperplane signs; a query probes its own bucket plus
+    every bucket within Hamming distance ``probe_hamming`` of its
+    signature in every table (Lv et al. 2007 multi-probe — recall of
+    many extra tables at the memory cost of one), candidates are
     unioned (distinct), then exact-scored. Recall grows as
-    1-(1-p^planes)^tables; the test measures it against brute force.
+    1-(1-p')^tables where p' sums the binomial probe terms; the
+    `ann_recall` query measures it against brute force.
 
     Scale shape: corpus is written once per table (explode by table id),
-    the join shuffles on (table, bucket) — bucket sizes are ~N/2^planes
-    so the per-bucket work is bounded; no full cross product ever forms.
+    the join shuffles on (table, bucket); only the tiny QUERY side is
+    exploded by probe mask (C(n_planes, <=probe_hamming) rows per
+    query/table), so corpus cost is unchanged — bucket sizes stay
+    ~N/2^planes and no full cross product ever forms.
+
+    with_cost=True appends ``n_candidates`` — the number of distinct
+    candidates exact-scored for that query (the honest probe cost an
+    index evaluation must report alongside recall).
     """
     table_ids = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
 
@@ -166,6 +185,12 @@ def lsh_topk(
 
     c = with_buckets(corpus, id_col, vec_col, "vec_id", "vec")
     q = with_buckets(queries, id_col, vec_col, "query_id", "qvec")
+    if probe_hamming > 0:
+        masks = probe_masks(n_planes, probe_hamming)
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -180,11 +205,13 @@ def lsh_topk(
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    if with_cost:
+        wq = Window.partitionBy("query_id")
+        out = out.withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        cols.append("n_candidates")
+    return out.filter(F.col("rank") <= k).select(*cols)
 
 
 def embedding_near_dup_pairs(
@@ -246,12 +273,15 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 3,
+    with_cost: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     partitions the corpus into centroid cells; each query scores only
-    the ``n_probe`` nearest cells.
+    the ``n_probe`` nearest cells. with_cost=True appends
+    ``n_candidates`` (vectors exact-scored for that query — the probe
+    cost an index evaluation reports alongside recall).
 
     The quantizer here is deterministic k-means++-style init without
     Lloyd iterations: centroids are the corpus vectors whose
@@ -313,11 +343,13 @@ def ivf_topk(
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    if with_cost:
+        wq = Window.partitionBy("query_id")
+        out = out.withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        cols.append("n_candidates")
+    return out.filter(F.col("rank") <= k).select(*cols)
 
 
 def _int_dot(a, b):
@@ -680,6 +712,8 @@ def pq_topk(
     k: int = 8,
     iters: int = 2,
     k_results: int = 5,
+    rerank: int = 0,
+    with_cost: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1 << 12,
@@ -689,7 +723,20 @@ def pq_topk(
     Broadcast the (small) query set, score every doc's reconstruction
     (exact int64 cosine folds — JVM-side, codegen), window top-k per
     query with id tiebreak. The scan reads codes + the broadcast
-    codebook, never the original vectors — the PQ memory win."""
+    codebook, never the original vectors — the PQ memory win.
+
+    ``rerank > 0`` enables the standard PQ refinement step (Jégou et
+    al. 2011 §V.C): the ADC pass keeps a per-query shortlist of the
+    ``rerank`` best reconstructions, then only those rows join back to
+    the full quantized vectors for an exact re-score. The scan still
+    never touches full vectors — the rejoin reads `rerank` vectors per
+    query, which is what makes PQ recall usable without giving up the
+    compressed-scan economics.
+
+    with_cost=True appends ``n_candidates`` (ADC scans every corpus
+    reconstruction, so it reports corpus_size - 1 per query — PQ trades
+    scan count for per-candidate cost, and the evaluation should show
+    that honestly)."""
     fr = _pq_frames(corpus, dim, m, k, iters, id_col, vec_col, scale)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -699,11 +746,26 @@ def pq_topk(
         fr.select("vec_id", "rvec")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(_int_cosine(F.col("qv"), F.col("rvec")), 6))
+        .withColumn("adc", F.round(_int_cosine(F.col("qv"), F.col("rvec")), 6))
     )
+    if with_cost:
+        wq = Window.partitionBy("query_id")
+        scored = scored.withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+    if rerank > 0:
+        ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+        short = (
+            scored.withColumn("_srk", F.row_number().over(ws))
+            .filter(F.col("_srk") <= rerank)
+            .drop("_srk", "rvec", "adc")
+        )
+        scored = short.join(fr.select("vec_id", "v"), "vec_id").withColumn(
+            "score", F.round(_int_cosine(F.col("qv"), F.col("v")), 6)
+        )
+    else:
+        scored = scored.withColumn("score", F.col("adc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_results)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    cols = ["query_id", "vec_id", "score", "rank"]
+    if with_cost:
+        cols.append("n_candidates")
+    return out.filter(F.col("rank") <= k_results).select(*cols)

@@ -45,22 +45,25 @@ def _stopword_hits(text_col, words: tuple[str, ...]) -> F.Column:
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword hit counts + argmax language guess
-    ('und' = undetermined when no lexicon hits)."""
+    ('und' = undetermined when no lexicon hits).
+
+    The argmax is one `greatest` + a CASE chain over the hit columns
+    (first language in lexicon order wins ties), NOT a folded
+    when/otherwise accumulator: the fold referenced the running best
+    twice per level, doubling expression size per language, and after
+    projection collapse Catalyst spent ~20s optimizing 2^|langs| copies
+    of the tokenizer subtree. This form is linear in |langs|.
+    """
     out = df
     for lang, words in LANG_LEXICON.items():
         out = out.withColumn(f"hits_{lang}", _stopword_hits(F.col(text_col), words))
-    best = None
-    best_hits = None
-    for lang in LANG_LEXICON:
-        h = F.col(f"hits_{lang}")
-        if best is None:
-            best, best_hits = F.lit(lang), h
-        else:
-            cond = h > best_hits
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_hits = F.when(cond, h).otherwise(best_hits)
+    hits = [F.col(f"hits_{lang}") for lang in LANG_LEXICON]
+    max_hits = F.greatest(*hits) if len(hits) > 1 else hits[0]
+    guess = F.lit(list(LANG_LEXICON)[-1])
+    for lang, h in list(zip(LANG_LEXICON, hits))[-2::-1]:
+        guess = F.when(h == max_hits, F.lit(lang)).otherwise(guess)
     return out.withColumn(
-        "lang_guess", F.when(best_hits > 0, best).otherwise(F.lit("und"))
+        "lang_guess", F.when(max_hits > 0, guess).otherwise(F.lit("und"))
     )
 
 

@@ -177,3 +177,88 @@ def test_semdedup_drops_within_cluster_near_dups(spark):
     assert all(got[i].kept for i in range(3, 10))
     # dup group members share a cluster
     assert got[0].centroid_id == got[1].centroid_id == got[2].centroid_id
+
+
+def test_probe_masks():
+    from eynollah_spark.operators.similarity import probe_masks
+
+    assert probe_masks(4, 0) == [0]
+    m1 = probe_masks(4, 1)
+    assert m1 == [0, 1, 2, 4, 8]
+    m2 = probe_masks(5, 2)
+    assert len(m2) == 1 + 5 + 10
+    assert all(bin(m).count("1") <= 2 for m in m2)
+    assert len(set(m2)) == len(m2)
+
+
+def test_lsh_full_probe_equals_brute_force(emb):
+    """With probe_hamming == n_planes every bucket of every table is
+    probed, so multi-probe LSH degenerates to the exact scan and must
+    equal brute-force top-k bit-for-bit (same scoring + tiebreak)."""
+    queries = emb.orderBy("vec_id").limit(3)
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in lsh_topk(
+            emb, queries, dim=DIM, k=5, n_planes=4, n_tables=1, probe_hamming=4
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_multi_probe_lifts_recall(emb):
+    """Multi-probe recall (vs brute force) is monotone in the Hamming
+    radius on the same tables/planes, and with_cost reports a
+    per-query candidate count that grows with the radius."""
+    queries = emb.orderBy("vec_id").limit(5)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def run(r):
+        rows = lsh_topk(
+            emb, queries, dim=DIM, k=5, n_planes=6, n_tables=2,
+            probe_hamming=r, with_cost=True,
+        ).collect()
+        got = {(x.query_id, x.vec_id) for x in rows}
+        ncand = {x.query_id: x.n_candidates for x in rows}
+        return len(got & truth) / len(truth), ncand
+
+    r0, c0 = run(0)
+    r2, c2 = run(2)
+    assert r2 >= r0
+    assert all(c2[q] >= c0.get(q, 0) for q in c2)
+    assert r2 >= 0.6  # radius-2 probing must be far above home-bucket-only
+
+
+def test_pq_rerank_lifts_recall(emb):
+    """The ADC-shortlist exact re-rank (Jégou §V.C) must improve (or
+    preserve) recall vs pure-ADC ranking at the same codebook."""
+    from eynollah_spark.operators.similarity import pq_topk
+
+    queries = emb.orderBy("vec_id").limit(5)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    n = emb.count()
+
+    def run(rr):
+        rows = pq_topk(
+            emb, queries, dim=DIM, m=4, k=8, iters=1, k_results=5, rerank=rr,
+            with_cost=True,
+        ).collect()
+        for x in rows:
+            assert x.n_candidates == n - 1  # ADC always scans the corpus
+        return {(x.query_id, x.vec_id) for x in rows}
+
+    adc = run(0)
+    rer = run(n)  # shortlist == corpus -> exact re-rank of everything
+    assert len(rer & truth) >= len(adc & truth)
+    # with the shortlist covering the whole corpus the re-ranked result
+    # is the exact quantized-cosine top-k: near-perfect vs brute force
+    assert len(rer & truth) / len(truth) >= 0.8
