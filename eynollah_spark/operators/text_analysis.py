@@ -120,14 +120,24 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     )
 
 
-def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
+def otsu_threshold(
+    df: DataFrame, value_col: str, bucket_width: int = 1 << 16
+) -> DataFrame:
     """Otsu's threshold over an integer feature column (A10 analog of
     otsu_copy_binary, utils/__init__.py:302-313): histogram aggregation
     + cumulative class statistics per candidate threshold + argmax of
-    between-class variance. Pure relational (one small histogram, one
-    window cumsum, one top-1) — no iteration, engine-portable: all
-    floating math derives from exact integer sums so the argmax is
-    bit-identical across engines.
+    between-class variance. Pure relational — no iteration,
+    engine-portable: all floating math derives from exact integer sums
+    so the argmax is bit-identical across engines.
+
+    Scale shape — the cumulative histogram is a TWO-LEVEL prefix sum
+    (the pack_documents pattern), never a single-partition window:
+    (1) per-bucket count/sum totals (groupBy on v // bucket_width),
+    (2) bucket offsets via a window over the tiny BUCKET table,
+    (3) within-bucket cumsum + offset. A bounded value domain (e.g.
+    an n_chars histogram) collapses to one bucket and behaves exactly
+    as before; a high-cardinality feature no longer funnels its whole
+    distinct-value table through one partition.
 
     Returns one row: threshold, between_var, n_below, n_above.
     """
@@ -135,9 +145,27 @@ def otsu_threshold(df: DataFrame, value_col: str) -> DataFrame:
 
     v = F.col(value_col).cast("bigint")
     hist = df.groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("n0", F.sum("c").over(w)).withColumn(
-        "s0", F.sum(F.col("v") * F.col("c")).over(w)
+    hist = hist.withColumn(
+        "_b", F.floor(F.col("v") / F.lit(bucket_width)).cast("bigint")
+    )
+    bucket_tot = hist.groupBy("_b").agg(
+        F.sum("c").alias("_bc"), F.sum(F.col("v") * F.col("c")).alias("_bs")
+    )
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_b",
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_offc"),
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).alias("_offs"),
+    )
+    wv = Window.partitionBy("_b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        hist.withColumn("_n0i", F.sum("c").over(wv))
+        .withColumn("_s0i", F.sum(F.col("v") * F.col("c")).over(wv))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("n0", F.col("_offc") + F.col("_n0i"))
+        .withColumn("s0", F.col("_offs") + F.col("_s0i"))
     )
     tot = hist.agg(
         F.sum("c").alias("nt"), F.sum(F.col("v") * F.col("c")).alias("st")

@@ -378,3 +378,24 @@ def test_chunk_documents_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_otsu_two_level_prefix_sum(spark):
+    """The cumulative histogram must be bucket-partitioned (two-level
+    prefix sum): identical thresholds at any bucket_width, and the
+    per-value cumsum window rides a partitionBy(_b) spec instead of an
+    unpartitioned global orderBy."""
+    from eynollah_spark.operators.text_analysis import otsu_threshold
+
+    rows = [(i, (i * 37) % 1000 + (i % 7) * 5000) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "feat"])
+    wide = otsu_threshold(df, "feat", bucket_width=1 << 40).collect()[0]
+    narrow = otsu_threshold(df, "feat", bucket_width=256).collect()[0]
+    assert tuple(wide) == tuple(narrow)
+    plan = (
+        otsu_threshold(df, "feat", bucket_width=256)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_b" in plan, plan[:2000]
