@@ -77,6 +77,9 @@ MINHASH_MAX_BAND_FREQ = 1000  # (band, bsig) hot-bucket cap (skew guard)
 TOPK_K = 5
 TOPK_QUERY_MAX_ID = 8  # queries = vec_id < 8
 LINES_PER_TURN = 4
+TWOCOL_CELL = 24  # twocol corpus: left/right cell width (chars)
+TWOCOL_GAP = 6  # twocol corpus: gutter width; right cell starts at CELL+GAP
+TWOCOL_LPT = 6  # twocol corpus: wrapped lines per turn (3 + blank + 3 page lines)
 EMB_DIM = 64
 NEAR_DUP_T = 0.2
 NEAR_DUP_PLANES = 4
@@ -127,6 +130,76 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return turns.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def transcripts_twocol_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_l: int = TWOCOL_CELL,
+    cell_r: int = TWOCOL_CELL,
+    gap: int = TWOCOL_GAP,
+) -> DataFrame:
+    """Deterministic fixed-width TWO-COLUMN transcript corpus: each
+    8-token wrapped document line is split into a left cell (chars
+    1..24, right-trimmed) and a right cell (chars 25..48, trimmed); a
+    page line is ``rpad(left, 30) || right`` (single-cell when the
+    right cell is empty), so ink sits in [0, 24) and [30, ...) with a
+    >= 6-wide blank gutter between. Turns take 6 wrapped lines with a
+    blank page line inserted after the 3rd, giving every full turn TWO
+    >= 3-line text blocks — the §6 per-block gutter scan
+    (find_num_col analog, reference utils/__init__.py:363-532) and the
+    §6p page-column mode with column-major reading order
+    (return_boxes_of_images_by_order_of_reading_new,
+    utils/__init__.py:1599-2255) both fire. Every page line starts
+    with ink at position 0 (lead == 0), so the §6d deskew gate can
+    never fire and the whole path stays SQL-expressible.
+
+    A NARROW right cell (e.g. cell_l=40, cell_r=12) makes the right
+    column short-lined and <= 25% of the page width, firing the §6m
+    projection-marginalia relabel (utils/marginals.py:11-252)."""
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    lc = F.rtrim(F.substring("line", 1, cell_l))
+    rc = F.trim(F.substring("line", cell_l + 1, cell_r))
+    pline = F.when(rc == F.lit(""), lc).otherwise(
+        F.concat(F.rpad(lc, cell_l + gap, " "), rc)
+    )
+    cells = lines.select(
+        "doc_id",
+        (F.col("line_idx") / TWOCOL_LPT).cast("int").alias("turn_idx"),
+        (F.col("line_idx") % TWOCOL_LPT).alias("k"),
+        pline.alias("pline"),
+    )
+    turns = cells.groupBy("doc_id", "turn_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "pline"))),
+            lambda x: x["pline"],
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    paged = turns.withColumn(
+        "text",
+        F.when(
+            F.size(arr) > 3,
+            F.array_join(
+                F.concat(
+                    F.slice(arr, 1, 3),
+                    F.array(F.lit("")),
+                    F.slice(arr, 4, F.size(arr) - 3),
+                ),
+                "\n",
+            ),
+        ).otherwise(F.array_join(arr, "\n")),
+    )
+    return paged.select(
         F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
@@ -1342,6 +1415,42 @@ def _q_extract_spans_nofull_simple(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_extract_spans_twocol_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-DEGENERATE column path with an EXACT SQL oracle: over
+    the fixed-width two-column corpus (transcripts_twocol_from_
+    documents) with max_columns=2, the §6 valley machinery (integer-
+    gaussian smoothing, relative depth, two-sided prominence, W6
+    deepest-first suppression), the §6p page-column mode (union
+    profile, band recompute with gutter-crossing separators,
+    column-major reading order) and the §6m projection marginalia
+    check ALL run — and all of it is SQL-expressible because lead == 0
+    everywhere (no §6d deskew) and small_fragment_max_len=0 (no §9
+    adherence). Reference: find_num_col utils/__init__.py:363-532;
+    return_boxes_of_images_by_order_of_reading_new
+    utils/__init__.py:1599-2255; marginals utils/marginals.py:11-252."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_twocol_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=2, small_fragment_max_len=0),
+    )
+
+
+def _q_extract_spans_margin_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_spans_twocol_simple with a NARROW right column
+    (cell_l=40, cell_r=12): the emitted right column is <= 25% of the
+    page width, at most half as wide as its sibling, and short-lined,
+    so the §6m projection-based marginalia relabel fires and
+    marginalia regions order after text (reading-order type group 2).
+    Reference: utils/marginals.py:11-252."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_twocol_from_documents(spark, sf_dir, cell_l=40, cell_r=12),
+        ExtractConfig(max_columns=2, small_fragment_max_len=0),
+    )
+
+
 def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPEC §11 diagnostics of the simple-mode kernel, with an exact
     SQL oracle (see _q_extract_spans_simple for the mode)."""
@@ -1446,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_curate_to_shards": _q_e2e_curate_to_shards,
         "extract_spans_tables_simple": _q_extract_spans_tables_simple,
         "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
+        "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
+        "extract_spans_margin_simple": _q_extract_spans_margin_simple,
         "page_diags_simple": _q_page_diags_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
@@ -3511,9 +3622,13 @@ FROM turns
             + "ELSE 'text' END"
         ).replace("{c}", c)
 
-    def _simple_prefix(tables: bool = False, full_layout: bool = True) -> str:
-        return """
-WITH toks AS (
+    # corpus CTE chains: each must end in a `tl` CTE with columns
+    # (conv_id, turn_idx, tli, line). The standard corpus mirrors
+    # transcripts_from_documents (8-token wrap, 4 lines/turn); the
+    # twocol corpus mirrors transcripts_twocol_from_documents
+    # (fixed-width paired columns, 6 wrapped lines/turn with a blank
+    # page line inserted after the 3rd).
+    _STD_CORPUS = """toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
 linelists AS (
@@ -3534,7 +3649,51 @@ tl AS (
          CAST(line_idx % 4 AS INT) AS tli,
          line
   FROM l0
+)"""
+
+    def _twocol_corpus(cell_l: int, cell_r: int, gap: int) -> str:
+        return """toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
+linelists AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(tk) / 8.0) AS INT)),
+                        i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+  FROM toks
+),
+l0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+         unnest(ls) AS line
+  FROM linelists
+),
+twl AS (  -- fixed-width two-column page lines: left cell at 0, right at __RS__
+  SELECT doc_id,
+         CAST(line_idx // 6 AS INT) AS turn_idx,
+         line_idx % 6 AS k,
+         CASE WHEN trim(substr(line, __CL__ + 1, __CR__), ' ') = ''
+              THEN rtrim(substr(line, 1, __CL__), ' ')
+              ELSE rpad(rtrim(substr(line, 1, __CL__), ' '), __RS__, ' ')
+                   || trim(substr(line, __CL__ + 1, __CR__), ' ') END AS pline
+  FROM l0
+),
+tl AS (  -- 6 wrapped lines per turn; blank page line inserted at tli=3
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id, turn_idx,
+         CAST(CASE WHEN k < 3 THEN k ELSE k + 1 END AS INT) AS tli,
+         pline AS line
+  FROM twl
+  UNION ALL
+  SELECT 'doc' || CAST(doc_id AS VARCHAR), turn_idx, 3, ''
+  FROM twl GROUP BY doc_id, turn_idx HAVING count(*) > 3
+)""".replace("__CL__", str(cell_l)).replace("__CR__", str(cell_r)).replace(
+            "__RS__", str(cell_l + gap)
+        )
+
+    def _core_prefix(
+        corpus: str, tables: bool = False, full_layout: bool = True
+    ) -> str:
+        return """
+WITH """ + corpus + """,
 ft AS (
   SELECT conv_id, turn_idx, tli, line,
          length(line) AS rlen,
@@ -3664,7 +3823,14 @@ rspans AS (  -- SPEC §10 span candidates: non-empty stripped lines
   SELECT conv_id, turn_idx, rid, tli, s, slen,
          line_start + lead AS cs
   FROM rr WHERE cls NOT IN ('blank', 'fence') AND slen > 0
-),
+)""".replace("__CLS_A__", _cls_case("s", tables, full_layout)).replace(
+            "__CLS_B__", _cls_case("bs", tables, full_layout)
+        )
+
+    # the simple-family tail: no column machinery (max_columns=1), so
+    # the ordered-region -> dropcap-merge -> emission chain runs on the
+    # regions themselves
+    _SIMPLE_TAIL = """,
 rne AS (  -- SPEC §7 reading order over non-empty regions
   SELECT v.*,
          row_number() OVER (PARTITION BY v.conv_id, v.turn_idx
@@ -3732,9 +3898,10 @@ withreg AS (
          dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
            AS region_num
   FROM numbered
-)""".replace("__CLS_A__", _cls_case("s", tables, full_layout)).replace(
-            "__CLS_B__", _cls_case("bs", tables, full_layout)
-        )
+)"""
+
+    def _simple_prefix(tables: bool = False, full_layout: bool = True) -> str:
+        return _core_prefix(_STD_CORPUS, tables, full_layout) + _SIMPLE_TAIL
 
     _spans_final = """
 SELECT conv_id,
@@ -3754,6 +3921,282 @@ SELECT conv_id,
 FROM withreg
 """
     sql["extract_spans_simple"] = _simple_prefix(False) + _spans_final
+
+    # twocol tail: the full SPEC §6/§6p/§6m column machinery in SQL.
+    # Valid because on the twocol corpus lead == 0 on every line (§6d
+    # deskew can never fire) and the query sets max_columns=2 (W6
+    # keeps kmax = 1 valley; the 2-entry §6m sibling width is
+    # total - own) and small_fragment_max_len=0 (no §9 adherence).
+    _TWOCOL_TAIL = """,
+txtl AS (  -- lines of post-vote TEXT regions (profiles + split emission)
+  SELECT r.conv_id, r.turn_idx, r.rid, r.tli, r.line, r.rlen, r.line_start,
+         v.n_lines
+  FROM rr r JOIN voted v USING (conv_id, turn_idx, rid)
+  WHERE v.vcls = 'text' AND r.cls NOT IN ('blank', 'fence')
+),
+scopel AS (  -- SPEC §6 per-block scopes (>= min_block_lines=3) + §6p page scope
+  SELECT conv_id, turn_idx, 'b' AS sc, rid AS sk, line, rlen
+  FROM txtl WHERE n_lines >= 3
+  UNION ALL
+  SELECT conv_id, turn_idx, 'p' AS sc, 0 AS sk, line, rlen FROM txtl
+),
+sw AS (
+  SELECT conv_id, turn_idx, sc, sk, max(rlen) AS w FROM scopel
+  GROUP BY conv_id, turn_idx, sc, sk
+),
+sink AS (  -- ink profile: # scope lines with a non-space char at pos
+  SELECT conv_id, turn_idx, sc, sk, pos, count(*) AS icnt FROM (
+    SELECT conv_id, turn_idx, sc, sk, line, unnest(range(rlen)) AS pos
+    FROM scopel
+  ) WHERE substr(line, CAST(pos + 1 AS INT), 1) <> ' '
+  GROUP BY conv_id, turn_idx, sc, sk, pos
+),
+sprof AS (
+  SELECT a.conv_id, a.turn_idx, a.sc, a.sk, a.w, a.pos,
+         coalesce(i.icnt, 0) AS cnt
+  FROM (SELECT conv_id, turn_idx, sc, sk, w, unnest(range(w)) AS pos
+        FROM sw WHERE w >= 2) a
+  LEFT JOIN sink i USING (conv_id, turn_idx, sc, sk, pos)
+),
+ssm AS (  -- integer gaussian smoothing, sigma=1.0: radius 3, weights
+          -- round(1e6*exp(-k^2/2)) = [1000000, 606531, 135335, 11109]
+  SELECT *,
+         1000000 * cnt
+         + 606531 * (coalesce(lag(cnt, 1) OVER wp, 0) + coalesce(lead(cnt, 1) OVER wp, 0))
+         + 135335 * (coalesce(lag(cnt, 2) OVER wp, 0) + coalesce(lead(cnt, 2) OVER wp, 0))
+         + 11109 * (coalesce(lag(cnt, 3) OVER wp, 0) + coalesce(lead(cnt, 3) OVER wp, 0))
+           AS sm
+  FROM sprof
+  WINDOW wp AS (PARTITION BY conv_id, turn_idx, sc, sk ORDER BY pos)
+),
+sagg AS (
+  SELECT *,
+         max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk) AS max_s,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS fmax_prev,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                    ORDER BY pos
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS bmax_next
+  FROM ssm
+),
+sruns AS (  -- valley runs on the RAW profile: cnt <= stray(1), width >= 2,
+            -- >= 1 truly blank column, center within [0.15, 0.85] of width
+  SELECT conv_id, turn_idx, sc, sk, min(w) AS w, min(pos) AS a, max(pos) AS b
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                                       ORDER BY pos) AS grp
+    FROM sprof WHERE cnt <= 1
+  )
+  GROUP BY conv_id, turn_idx, sc, sk, grp
+  HAVING max(pos) - min(pos) >= 1
+     AND max(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) = 1
+     AND (min(pos) + max(pos)) // 2 >= CAST(0.15 AS DOUBLE) * min(w)
+     AND (min(pos) + max(pos)) // 2 <= CAST(0.85 AS DOUBLE) * min(w)
+),
+sdep AS (
+  SELECT r.conv_id, r.turn_idx, r.sc, r.sk, r.w, r.a, r.b, min(g.sm) AS depth
+  FROM sruns r JOIN sagg g USING (conv_id, turn_idx, sc, sk)
+  WHERE g.pos BETWEEN r.a AND r.b
+  GROUP BY r.conv_id, r.turn_idx, r.sc, r.sk, r.w, r.a, r.b
+),
+sgut AS (  -- depth + two-sided prominence gates, then W6: deepest kmax=1
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY d.conv_id, d.turn_idx, d.sc, d.sk
+                                   ORDER BY d.depth, d.a, d.b) AS rn
+    FROM sdep d
+    JOIN sagg ga ON ga.conv_id = d.conv_id AND ga.turn_idx = d.turn_idx
+                AND ga.sc = d.sc AND ga.sk = d.sk AND ga.pos = d.a
+    JOIN sagg gb ON gb.conv_id = d.conv_id AND gb.turn_idx = d.turn_idx
+                AND gb.sc = d.sc AND gb.sk = d.sk AND gb.pos = d.b
+    WHERE ga.max_s > 0
+      AND d.depth * 100 <= 20 * ga.max_s
+      AND least(ga.fmax_prev, gb.bmax_next) * 100 >= 50 * ga.max_s
+  ) WHERE rn = 1
+),
+pageg AS (  -- §6p trigger: >= 2 text blocks AND any block shows columns
+  SELECT g.conv_id, g.turn_idx, g.a AS pg_a, g.b AS pg_b, g.w AS pg_w
+  FROM sgut g
+  WHERE g.sc = 'p'
+    AND EXISTS (SELECT 1 FROM sgut b WHERE b.sc = 'b'
+                AND b.conv_id = g.conv_id AND b.turn_idx = g.turn_idx)
+    AND (SELECT count(*) FROM voted v WHERE v.conv_id = g.conv_id
+         AND v.turn_idx = g.turn_idx AND v.vcls = 'text') >= 2
+),
+pband AS (  -- §6p band recompute: the 2nd consecutive blank or a gutter-
+            -- CROSSING separator advances the band for later lines
+  SELECT r.conv_id, r.turn_idx, r.tli,
+         coalesce(sum(CASE WHEN (r.cls = 'blank' AND r.run_len = 2)
+                             OR (r.cls = 'separator' AND r.slen > 0
+                                 AND r.lead <= p.pg_b
+                                 AND r.lead + r.slen - 1 > p.pg_b)
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY r.conv_id, r.turn_idx ORDER BY r.tli
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pb
+  FROM rr r JOIN pageg p USING (conv_id, turn_idx)
+),
+teff AS (  -- effective gutter per text region: page gutters override block's
+  SELECT v.conv_id, v.turn_idx, v.rid,
+         coalesce(pg.pg_a, bg.a) AS g_a, coalesce(pg.pg_b, bg.b) AS g_b,
+         CASE WHEN pg.pg_a IS NOT NULL THEN pg.pg_w ELSE bg.w END AS g_w
+  FROM voted v
+  LEFT JOIN pageg pg ON pg.conv_id = v.conv_id AND pg.turn_idx = v.turn_idx
+  LEFT JOIN sgut bg ON bg.sc = 'b' AND bg.conv_id = v.conv_id
+                   AND bg.turn_idx = v.turn_idx AND bg.sk = v.rid
+                   AND pg.pg_a IS NULL
+  WHERE v.vcls = 'text'
+),
+csp AS (  -- §6 split emission: per-line per-column stripped pieces
+  SELECT c.conv_id, c.turn_idx, c.rid, c.col, t.tli,
+         substr(t.line, CAST(c.seg_a + 1 AS INT),
+                CAST(c.seg_b - c.seg_a AS INT)) AS piece,
+         trim(piece, ' ') AS s,
+         t.line_start + c.seg_a + length(piece) - length(ltrim(piece, ' '))
+           AS cs
+  FROM (
+    SELECT conv_id, turn_idx, rid, 0 AS col, 0 AS seg_a, g_a AS seg_b
+    FROM teff WHERE g_a IS NOT NULL
+    UNION ALL
+    SELECT conv_id, turn_idx, rid, 1, g_b + 1, g_w
+    FROM teff WHERE g_a IS NOT NULL
+  ) c
+  JOIN txtl t USING (conv_id, turn_idx, rid)
+  WHERE trim(substr(t.line, CAST(c.seg_a + 1 AS INT),
+                    CAST(c.seg_b - c.seg_a AS INT)), ' ') <> ''
+),
+cent AS (  -- §6m column entries; with 2 columns both entries are OUTER and
+           -- the widest sibling is total - own
+  SELECT c.conv_id, c.turn_idx, c.rid, c.col, c.max_sp_len,
+         CASE c.col WHEN 0 THEN e.g_a ELSE e.g_w - (e.g_b + 1) END AS wd,
+         e.g_w
+  FROM (SELECT conv_id, turn_idx, rid, col, max(length(s)) AS max_sp_len
+        FROM csp GROUP BY conv_id, turn_idx, rid, col) c
+  JOIN teff e USING (conv_id, turn_idx, rid)
+),
+centr AS (
+  SELECT *,
+         CASE WHEN count(*) OVER wr >= 2
+                   AND wd * 100 <= 25 * g_w
+                   AND 2 * wd <= sum(wd) OVER wr - wd
+                   AND max_sp_len <= 24
+              THEN 'marginalia' ELSE 'text' END AS rt
+  FROM cent
+  WINDOW wr AS (PARTITION BY conv_id, turn_idx, rid)
+),
+units AS (  -- emission units: split col entries + unsplit/non-text regions
+  SELECT c.conv_id, c.turn_idx, c.rid, c.col, c.rt,
+         v.first_tli, v.band AS band0, true AS is_entry
+  FROM centr c JOIN voted v USING (conv_id, turn_idx, rid)
+  UNION ALL
+  SELECT v.conv_id, v.turn_idx, v.rid, 0, v.vcls, v.first_tli, v.band, false
+  FROM voted v LEFT JOIN teff e USING (conv_id, turn_idx, rid)
+  WHERE v.vcls <> 'text' OR e.g_a IS NULL
+),
+uord AS (  -- effective band/column + §7 type-group ordering keys
+  SELECT u.*, (pg.conv_id IS NOT NULL) AS pmod,
+         CASE WHEN pg.conv_id IS NOT NULL THEN pb.pb ELSE u.band0 END AS band,
+         CASE WHEN pg.conv_id IS NOT NULL AND NOT u.is_entry
+              THEN CASE WHEN fl.lead > pg.pg_b THEN 1 ELSE 0 END
+              ELSE u.col END AS ecol,
+         CASE u.rt WHEN 'header' THEN 0 WHEN 'marginalia' THEN 2
+                   WHEN 'separator' THEN 3 ELSE 1 END AS tg
+  FROM units u
+  LEFT JOIN pageg pg ON pg.conv_id = u.conv_id AND pg.turn_idx = u.turn_idx
+  LEFT JOIN pband pb ON pb.conv_id = u.conv_id AND pb.turn_idx = u.turn_idx
+                    AND pb.tli = u.first_tli
+  LEFT JOIN rr fl ON fl.conv_id = u.conv_id AND fl.turn_idx = u.turn_idx
+                 AND fl.tli = u.first_tli
+),
+rne AS (  -- SPEC §7/§7p: page-column mode orders column-major ACROSS bands
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+             ORDER BY CASE WHEN pmod THEN ecol ELSE band END,
+                      CASE WHEN pmod THEN band ELSE tg END,
+                      CASE WHEN pmod THEN tg ELSE first_tli END,
+                      CASE WHEN pmod THEN first_tli ELSE ecol END) AS ord
+  FROM uord
+),
+uspans AS (
+  SELECT conv_id, turn_idx, rid, col, tli, s, cs, cs + length(s) AS ce
+  FROM csp
+  UNION ALL
+  SELECT r.conv_id, r.turn_idx, r.rid, 0, r.tli, r.s, r.cs, r.cs + r.slen
+  FROM rspans r JOIN rne u ON u.conv_id = r.conv_id AND u.turn_idx = r.turn_idx
+                          AND u.rid = r.rid AND NOT u.is_entry
+),
+dc AS (  -- SPEC §8 drop-capital merge over adjacent ordered units
+  SELECT *,
+         lead(rt) OVER w AS nx_rt, lead(band) OVER w AS nx_band,
+         lag(rt) OVER w AS pv_rt, lag(band) OVER w AS pv_band,
+         lag(rid) OVER w AS pv_rid
+  FROM rne WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ord)
+),
+surv AS (
+  SELECT *,
+         CASE WHEN rt = 'text' AND pv_rt = 'dropcap' AND pv_band = band
+              THEN pv_rid END AS dc_rid,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord) - 1
+           AS region_seq
+  FROM dc
+  WHERE (rt = 'dropcap' AND nx_rt = 'text' AND nx_band = band) IS NOT TRUE
+),
+sp1 AS (
+  SELECT s.conv_id, s.turn_idx, r.region_seq, r.ord, r.dc_rid, s.tli,
+         CASE r.rt WHEN 'dropcap' THEN 'drop-capital' ELSE r.rt END
+           AS region_type,
+         row_number() OVER (PARTITION BY s.conv_id, s.turn_idx, r.rid, r.col
+                            ORDER BY s.tli) AS line_in_region,
+         s.cs, s.ce, s.s AS stext
+  FROM uspans s JOIN surv r ON r.conv_id = s.conv_id AND r.turn_idx = s.turn_idx
+                           AND r.rid = s.rid AND r.col = s.col
+),
+patched AS (
+  SELECT p.conv_id, p.turn_idx, p.region_seq, p.region_type, p.ord, p.tli,
+         CASE WHEN p.line_in_region = 1 AND p.dc_rid IS NOT NULL
+              THEN d.cs ELSE p.cs END AS char_start,
+         p.ce AS char_end,
+         CASE WHEN p.line_in_region = 1 AND p.dc_rid IS NOT NULL
+              THEN d.s || p.stext ELSE p.stext END AS text
+  FROM sp1 p
+  LEFT JOIN uspans d ON d.conv_id = p.conv_id AND d.turn_idx = p.turn_idx
+                    AND d.rid = p.dc_rid AND d.col = 0
+),
+numbered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord, tli) - 1
+           AS span_idx
+  FROM patched
+),
+withreg AS (
+  SELECT *,
+         dense_rank() OVER (PARTITION BY conv_id ORDER BY turn_idx, region_seq)
+           AS region_num
+  FROM numbered
+)"""
+
+    # materialize every CTE: DuckDB inlines CTEs per reference, and the
+    # twocol chain's fan-out (sagg/sgut/teff each referenced 3-5x over
+    # an already deep prefix) would otherwise explode into thousands of
+    # parquet scans of the same file
+    import re as _re
+
+    def _twocol_sql(cell_l: int, cell_r: int, gap: int) -> str:
+        return _re.sub(
+            r"(?m)^(WITH )?(\w+) AS \(",
+            lambda m: (m.group(1) or "") + m.group(2) + " AS MATERIALIZED (",
+            _core_prefix(_twocol_corpus(cell_l, cell_r, gap), False, True)
+            + _TWOCOL_TAIL
+            + _spans_final,
+        )
+
+    sql["extract_spans_twocol_simple"] = _twocol_sql(
+        TWOCOL_CELL, TWOCOL_CELL, TWOCOL_GAP
+    )
+    # narrow right column: the §6m projection-marginalia relabel fires
+    sql["extract_spans_margin_simple"] = _twocol_sql(40, 12, TWOCOL_GAP)
 
     # end-to-end: simple-mode extraction -> main-content reassembly ->
     # quality gate, as one nested query over the spans oracle (the
