@@ -211,6 +211,46 @@ def transcripts_twocol_from_documents(
     )
 
 
+def transcripts_padded_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LOW-DENSITY transcript corpus for the §1e
+    enhancement pre-pass (M1 analog): each 8-token wrapped line is
+    truncated to 80 chars (the wrap width, so §1e's re-wrap branch is
+    a provable no-op) and followed by (line_idx % 3) blank pad lines;
+    4 content lines per turn. Most turns fall under the 30 chars/line
+    density gate (the DPI_THRESHOLD analog) and get rewritten by the
+    kernel when enable_enhancement is on; dense turns pass through."""
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    line80 = F.substring("line", 1, 80)
+    page_arr = F.concat(
+        F.array(line80),
+        F.array_repeat(F.lit(""), (F.col("line_idx") % 3).cast("int")),
+    )
+    cells = lines.select(
+        "doc_id",
+        (F.col("line_idx") / LINES_PER_TURN).cast("int").alias("turn_idx"),
+        "line_idx",
+        page_arr.alias("pls"),
+    )
+    turns = cells.groupBy("doc_id", "turn_idx").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "pls"))),
+                lambda x: x["pls"],
+            )
+        ).alias("arr")
+    )
+    return turns.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.array_join("arr", "\n").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full extraction pipeline (kernel + order/id
     windows) over transcripts derived from sf0.001 documents."""
@@ -1451,6 +1491,38 @@ def _q_extract_spans_margin_simple(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_extract_spans_enhanced_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1e enhancement pre-pass (M1 analog: run_enhancement,
+    reference eynollah.py:381-450,1988-2010) with an EXACT SQL oracle:
+    over the padded low-density corpus, flagged pages are rewritten
+    (rtrim + blank-run collapse; re-wrap is a provable no-op because
+    corpus lines are pre-truncated to the wrap width) before
+    classification, and span offsets refer to the enhanced text. The
+    re-wrap branch stays gated by the kernel/oracle fixture + fuzz
+    suites."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_padded_from_documents(spark, sf_dir),
+        ExtractConfig(
+            max_columns=1, small_fragment_max_len=0, enable_enhancement=True
+        ),
+    )
+
+
+def _q_page_diags_enhanced_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEC §11 diagnostics over the enhanced padded corpus: the
+    was_enhanced flag (is_image_enhanced analog) is oracle-checked."""
+    from eynollah_spark.config import ExtractConfig
+
+    return analyze_pages(
+        transcripts_padded_from_documents(spark, sf_dir),
+        ExtractConfig(
+            max_columns=1, small_fragment_max_len=0, enable_enhancement=True
+        ),
+    )
+
+
 def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPEC §11 diagnostics of the simple-mode kernel, with an exact
     SQL oracle (see _q_extract_spans_simple for the mode)."""
@@ -1557,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
         "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
         "extract_spans_margin_simple": _q_extract_spans_margin_simple,
+        "extract_spans_enhanced_simple": _q_extract_spans_enhanced_simple,
+        "page_diags_enhanced_simple": _q_page_diags_enhanced_simple,
         "page_diags_simple": _q_page_diags_simple,
         "extract_spans": _q_extract_spans,
         "extract_spans_salted": _q_extract_spans_salted,
@@ -4198,6 +4272,70 @@ withreg AS (
     # narrow right column: the §6m projection-marginalia relabel fires
     sql["extract_spans_margin_simple"] = _twocol_sql(40, 12, TWOCOL_GAP)
 
+    # padded corpus + §1e enhancement (M1 analog) in SQL: lines are
+    # pre-truncated to the wrap width (substr 80) so the greedy re-wrap
+    # is a provable no-op and the SQL transform reduces to rtrim +
+    # blank-run collapse + renumber, applied only to low-density turns
+    # (the kernel's re-wrap branch stays pytest/fuzz-gated)
+    _PADDED_CORPUS = """toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+linelists AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(tk) / 8.0) AS INT)),
+                        i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+  FROM toks
+),
+l0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+         unnest(ls) AS line
+  FROM linelists
+),
+pl0 AS (  -- truncate to the wrap width: §1e re-wrap can never fire
+  SELECT doc_id, line_idx, substr(line, 1, 80) AS line FROM l0
+),
+pl AS (  -- each content line followed by (line_idx % 3) blank pad lines
+  SELECT doc_id, CAST(line_idx // 4 AS INT) AS turn_idx, line_idx, 0 AS sub,
+         line
+  FROM pl0
+  UNION ALL
+  SELECT doc_id, CAST(line_idx // 4 AS INT), line_idx, CAST(u.s + 1 AS INT), ''
+  FROM (SELECT doc_id, line_idx, unnest(range(line_idx % 3)) AS s FROM pl0) u
+),
+pt AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id, turn_idx,
+         row_number() OVER (PARTITION BY doc_id, turn_idx
+                            ORDER BY line_idx, sub) - 1 AS tli0,
+         line,
+         sum(length(line)) OVER (PARTITION BY doc_id, turn_idx) AS sum_len,
+         count(*) OVER (PARTITION BY doc_id, turn_idx) AS n0
+  FROM pl
+),
+pflag AS (  -- §1e gate: density = len(text) / n_lines < 30.0
+  SELECT *, (CAST(sum_len + n0 - 1 AS DOUBLE) / n0) < 30.0 AS flagged FROM pt
+),
+penh AS (  -- §1e rewrite of flagged turns: rtrim + blank-run collapse
+  SELECT conv_id, turn_idx, tli0, rtrim(line, ' ') AS line,
+         (rtrim(line, ' ') = '') AS blank,
+         lag(rtrim(line, ' ') = '')
+           OVER (PARTITION BY conv_id, turn_idx ORDER BY tli0) AS pblank
+  FROM pflag WHERE flagged
+),
+tl AS (
+  SELECT conv_id, turn_idx,
+         CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY tli0) - 1 AS INT) AS tli,
+         line
+  FROM penh WHERE NOT (blank AND coalesce(pblank, false))
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(tli0 AS INT), line FROM pflag WHERE NOT flagged
+)"""
+
+    sql["extract_spans_enhanced_simple"] = (
+        _core_prefix(_PADDED_CORPUS, False, True) + _SIMPLE_TAIL + _spans_final
+    )
+
     # end-to-end: simple-mode extraction -> main-content reassembly ->
     # quality gate, as one nested query over the spans oracle (the
     # quality fragments are the same n_ws/n_chars/n_punct/n_stop
@@ -4271,7 +4409,8 @@ FROM keyed GROUP BY 1 ORDER BY 1
     # over unsplit text-block lines (index-within-block vs leading
     # indent; structurally 0 on token-wrapped transcripts but the full
     # formula is evaluated), the §4 agreement ratio and gate flag.
-    sql["page_diags_simple"] = _simple_prefix(False) + """,
+    def _diag_tail(was_enhanced_sql: str) -> str:
+        return """,
 turnsl AS (
   SELECT conv_id, turn_idx, count(*) AS n_lines FROM tl GROUP BY conv_id, turn_idx
 ),
@@ -4306,12 +4445,32 @@ SELECT t.conv_id,
        coalesce(sl.slope, 0.0) AS slope,
        abs(coalesce(sl.slope, 0.0)) >= 0.13 AS is_deskewed,
        coalesce(g.ratio, 100.0) AS agreement_ratio,
-       coalesce(g.ratio, 100.0) <= 40.0 AS used_binarized
+       coalesce(g.ratio, 100.0) <= 40.0 AS used_binarized,
+       __WAS_ENHANCED__ AS was_enhanced
 FROM turnsl t
 LEFT JOIN spanagg s USING (conv_id, turn_idx)
 LEFT JOIN gt g USING (conv_id, turn_idx)
 LEFT JOIN slopes sl USING (conv_id, turn_idx)
-"""
+__DIAG_EXTRA_JOIN__
+""".replace("__WAS_ENHANCED__", was_enhanced_sql).replace(
+            "__DIAG_EXTRA_JOIN__",
+            ""
+            if was_enhanced_sql == "FALSE"
+            else "LEFT JOIN (SELECT conv_id, turn_idx, bool_or(flagged) AS fl\n"
+            "           FROM pflag GROUP BY conv_id, turn_idx) pf\n"
+            "USING (conv_id, turn_idx)",
+        )
+
+    # enable_enhancement is off in the simple family's config, so the
+    # §1e gate can never fire there
+    sql["page_diags_simple"] = _simple_prefix(False) + _diag_tail("FALSE")
+    # the was_enhanced flag (is_image_enhanced analog) is oracle-checked
+    # over the padded corpus via the per-turn density gate
+    sql["page_diags_enhanced_simple"] = (
+        _core_prefix(_PADDED_CORPUS, False, True)
+        + _SIMPLE_TAIL
+        + _diag_tail("coalesce(pf.fl, FALSE)")
+    )
 
     # extract_spans (full kernel), page_diags, multimodal: rows-only by
     # design (the kernel's gate is the fixture-equality pytest suite;

@@ -136,6 +136,23 @@ class ExtractConfig:
     # wider, so narrow gaps stop qualifying — the data-dependent gap)
     line_split_rel_depth: float = 0.40
 
+    # --- enhancement pre-pass (M1 analog: run_enhancement /
+    # resize_and_enhance_image_with_column_classifier +
+    # predict_enhancement, eynollah.py:381-450,1988-2010, model M1
+    # loaded at eynollah.py:137,174-262; exposed like the reference's
+    # -ae/--allow_enhancement CLI flag, cli.py) ---
+    # off by default. When on, a page whose ink density (chars per
+    # line, the DPI analog of check_dpi/DPI_THRESHOLD=298) is below
+    # the threshold is REWRITTEN before classification: lines are
+    # right-trimmed, runs of blank lines collapse to one, and
+    # over-long lines are greedily re-wrapped at spaces. Span offsets
+    # then refer to the ENHANCED text (the reference's
+    # allow_enhancement output-in-enhanced-scale behavior). Tool pages
+    # (SPEC §1) bypass enhancement like they bypass segmentation.
+    enable_enhancement: bool = False
+    enhancement_density_min: float = 30.0  # chars/line; DPI_THRESHOLD analog
+    enhancement_wrap_width: int = 80
+
     # --- table mode (M10 analog, eynollah.py:1841-1941; gated like the
     # reference's -tab flag, cli.py) ---
     # off by default: the reference only detects tables when asked

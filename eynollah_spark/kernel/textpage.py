@@ -244,6 +244,55 @@ SPAN_COLUMNS = [
 ]
 
 
+def _wrap_line(ln: str, width: int) -> list:
+    """Greedy space-wrap of one over-long line (> width): each cut is
+    the LAST space at index <= width (hard cut at width when a token
+    is wider than the page); pieces are right-trimmed, the remainder
+    left-trimmed, empty pieces dropped."""
+    parts = []
+    s = ln
+    while len(s) > width:
+        cut = s.rfind(" ", 1, width + 1)
+        if cut == -1:
+            head, s = s[:width], s[width:]
+        else:
+            head, s = s[:cut], s[cut + 1 :]
+        head = head.rstrip(" ")
+        s = s.lstrip(" ")
+        if head:
+            parts.append(head)
+    if s:
+        parts.append(s)
+    return parts
+
+
+def enhance_page_text(text: str, cfg: ExtractConfig):
+    """SPEC §1e enhancement pre-pass (M1 analog, reference
+    eynollah.py:381-450,1988-2010): a page whose ink density
+    (len(text) / n_lines, the DPI analog) is below
+    ``enhancement_density_min`` is rewritten before classification —
+    lines right-trimmed, runs of blank lines collapsed to one,
+    over-long lines greedily re-wrapped at spaces. Returns
+    (new_text, was_enhanced); span offsets downstream refer to the
+    enhanced text."""
+    n_lines = text.count("\n") + 1
+    if len(text) / n_lines >= cfg.enhancement_density_min:
+        return text, False
+    out = []
+    prev_blank = False
+    for ln in text.split("\n"):
+        ln = ln.rstrip(" ")
+        blank = ln == ""
+        if blank and prev_blank:
+            continue
+        prev_blank = blank
+        if len(ln) > cfg.enhancement_wrap_width:
+            out.extend(_wrap_line(ln, cfg.enhancement_wrap_width))
+        else:
+            out.append(ln)
+    return "\n".join(out), True
+
+
 def analyze_turns_batch(
     pdf: pd.DataFrame, model: LineModel | None = None
 ) -> pd.DataFrame:
@@ -282,6 +331,22 @@ def _analyze_batch(
 
     texts = pdf["text"].astype("object").fillna("")
     roles = pdf["role"].to_numpy()
+
+    # §1e enhancement pre-pass (gated; M1 analog): flagged low-density
+    # non-tool pages are rewritten before the line flatten, so every
+    # downstream feature/offset sees the enhanced text. The gate is
+    # vectorized; the rewrite itself runs only on the flagged subset.
+    was_enh = np.zeros(len(pdf), dtype=bool)
+    if cfg.enable_enhancement and len(pdf):
+        nl = texts.str.count("\n").to_numpy() + 1
+        nc = texts.str.len().to_numpy()
+        flag = ((nc / nl) < cfg.enhancement_density_min) & (roles != "tool")
+        if flag.any():
+            tv = texts.to_numpy(copy=True)
+            for i in np.flatnonzero(flag):
+                tv[i], e = enhance_page_text(tv[i], cfg)
+                was_enh[i] = e
+            texts = pd.Series(tv, dtype="object")
 
     lines_pa, turn_ord, line_start, n_per, raw_len = _flatten_lines_arrow(texts)
 
@@ -851,7 +916,7 @@ def _analyze_batch(
                     )
             if want_diag:
                 diag_rows.append(
-                    (int(n_per[t]), len(spans), 1 if spans else 0, 1, 0.0, False, 100.0, False)
+                    (int(n_per[t]), len(spans), 1 if spans else 0, 1, 0.0, False, 100.0, False, False)
                 )
             else:
                 for row in spans:
@@ -885,7 +950,7 @@ def _analyze_batch(
             page_gutter_cache=page_gutter_cache,
         )
         if want_diag:
-            diag_rows.append(res)
+            diag_rows.append(res + (bool(was_enh[t]),))
         else:
             for row in res:
                 span_rows.append((t,) + row)
@@ -902,6 +967,7 @@ def _analyze_batch(
                 "is_deskewed",
                 "agreement_ratio",
                 "used_binarized",
+                "was_enhanced",
             ],
         )
         out.insert(0, "conv_id", pdf["conv_id"].to_numpy())

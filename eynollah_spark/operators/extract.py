@@ -81,6 +81,7 @@ PAGE_SCHEMA = StructType(
         StructField("is_deskewed", BooleanType()),
         StructField("agreement_ratio", DoubleType()),
         StructField("used_binarized", BooleanType()),
+        StructField("was_enhanced", BooleanType()),
     ]
 )
 

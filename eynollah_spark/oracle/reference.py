@@ -118,8 +118,57 @@ class _Region:
     spans: list[tuple]
 
 
+def _enhance_naive(text: str, cfg: ExtractConfig):
+    """SPEC §1e enhancement pre-pass, naive form (M1 analog, reference
+    eynollah.py:381-450,1988-2010): low-density pages are rewritten —
+    right-trim lines, collapse blank-line runs to one, greedily
+    space-wrap lines longer than enhancement_wrap_width (hard cut when
+    a token is wider than the page; pieces right-trimmed, remainders
+    left-trimmed, empty pieces dropped)."""
+    n_lines = text.count("\n") + 1
+    if len(text) / n_lines >= cfg.enhancement_density_min:
+        return text, False
+    width = cfg.enhancement_wrap_width
+    out = []
+    prev_blank = False
+    for ln in text.split("\n"):
+        while ln and ln[-1] == " ":
+            ln = ln[:-1]
+        blank = ln == ""
+        if blank and prev_blank:
+            continue
+        prev_blank = blank
+        if len(ln) <= width:
+            out.append(ln)
+            continue
+        s = ln
+        while len(s) > width:
+            cut = -1
+            for j in range(min(width, len(s) - 1), 0, -1):
+                if s[j] == " ":
+                    cut = j
+                    break
+            if cut == -1:
+                head, s = s[:width], s[width:]
+            else:
+                head, s = s[:cut], s[cut + 1 :]
+            head = head.rstrip(" ")
+            s = s.lstrip(" ")
+            if head:
+                out.append(head)
+        if s:
+            out.append(s)
+    return "\n".join(out), True
+
+
 def _analyze(text: str, role: str, cfg: ExtractConfig):
     """Returns (spans, diag) per SPEC. Naive implementation."""
+    # §1e enhancement (gated): rewrite low-density non-tool pages
+    # BEFORE anything else; offsets refer to the enhanced text
+    was_enhanced = False
+    if cfg.enable_enhancement and role != "tool":
+        text, was_enhanced = _enhance_naive(text, cfg)
+
     lines = text.split("\n")
     starts = _line_starts(lines)
     n = len(lines)
@@ -130,6 +179,7 @@ def _analyze(text: str, role: str, cfg: ExtractConfig):
         "slope": 0.0,
         "agreement_ratio": 100.0,
         "used_binarized": False,
+        "was_enhanced": was_enhanced,
     }
 
     # §1 tool turns

@@ -79,6 +79,7 @@ def test_corpus_diag_agreement(seed):
         assert e["is_deskewed"] == bool(g.is_deskewed)
         assert abs(e["agreement_ratio"] - g.agreement_ratio) < 1e-9
         assert e["used_binarized"] == bool(g.used_binarized)
+        assert e["was_enhanced"] == bool(g.was_enhanced)
 
 
 _token = st.sampled_from(
@@ -118,6 +119,10 @@ def _fuzz_cfg():
             enable_line_split=True,
             line_split_min_len=8,
             region_blank_bridge=True,
+            # §1e enhancement with a tiny wrap width so short fuzz
+            # pages exercise rtrim + blank-collapse + greedy re-wrap
+            enable_enhancement=True,
+            enhancement_wrap_width=12,
         )
     return _FUZZ_CFG
 
@@ -708,6 +713,7 @@ def test_fuzz_diag_agreement_all_modes(text, role):
     assert e["max_columns"] == g["max_columns"]
     assert abs(e["slope"] - g["slope"]) < 1e-12
     assert e["used_binarized"] == bool(g["used_binarized"])
+    assert e["was_enhanced"] == bool(g["was_enhanced"])
 
 
 @pytest.mark.parametrize("seed", [3, 17, 99])
@@ -827,3 +833,90 @@ def test_page_union_chunk_batching_matches_single_page():
     pd.testing.assert_frame_equal(batched, singles)
     # the fixture really exercises the column path
     assert (batched.groupby("conv_id")["region_seq"].nunique() > 1).any()
+
+
+# ---------------------------------------------------------------------------
+# §1e enhancement pre-pass (M1 analog, reference eynollah.py:381-450,
+# 1988-2010): fixture family, kernel vs oracle in both modes
+# ---------------------------------------------------------------------------
+
+_ENH_PAGES = [
+    # low-density: trailing-space padding + blank runs collapse
+    "alpha beta   \n\n\n\ngamma   \n\n\ndelta",
+    # low-density: over-long line re-wraps greedily at spaces
+    "word " * 40 + "\n\n\n\n\n\n\n\n\n\n\n\n\n\n",
+    # low-density: token wider than the page hard-cuts at width
+    "x" * 200 + "\n" + "\n" * 12,
+    # dense page: gate does NOT fire, text passes through verbatim
+    "\n".join("this line is plenty dense for the dpi analog %03d" % i for i in range(6)),
+    # low-density with structure that classification then sees: a
+    # separator and a header emerge once the padding collapses
+    "# Title  \n\n\n\n---  \n\n\n\nbody text here  \n\n\n\n",
+    # multi-space interior padding survives (only EDGES are trimmed)
+    "a   b \n\n\n\n\nc   d ",
+]
+
+
+@pytest.mark.parametrize("enabled", [False, True])
+@pytest.mark.parametrize("idx", range(len(_ENH_PAGES)))
+def test_enhancement_fixture_family(idx, enabled):
+    """Kernel and naive oracle stay span- and diag-lockstep with the
+    enhancement flag in BOTH positions; with it on, flagged pages
+    report was_enhanced and offsets refer to the enhanced text."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import LineModel
+
+    cfg = ExtractConfig(enable_enhancement=enabled)
+    text = _ENH_PAGES[idx]
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": [0], "role": ["user"], "text": [text]}
+    )
+    out = analyze_turns_batch(pdf, LineModel(cfg))
+    got = sorted(
+        (int(t.span_idx), t.region_type, int(t.region_seq),
+         int(t.char_start), int(t.char_end), t.text)
+        for t in out.itertuples(index=False)
+    )
+    exp = sorted(
+        (s.span_idx, s.region_type, s.region_seq, s.char_start, s.char_end, s.text)
+        for s in analyze_turn_naive(text, "user", cfg)
+    )
+    assert got == exp
+    g = page_diags_batch(pdf, LineModel(cfg)).iloc[0]
+    e = page_diag_naive(text, "user", cfg)
+    for k in ("n_lines", "n_spans", "n_regions", "max_columns", "was_enhanced"):
+        assert e[k] == g[k], k
+    # the gate itself: dense page never enhances; sparse pages do
+    # exactly when the flag is on
+    density = len(text) / (text.count("\n") + 1)
+    assert bool(g["was_enhanced"]) == (enabled and density < cfg.enhancement_density_min)
+
+
+def test_enhancement_offsets_refer_to_enhanced_text():
+    """allow_enhancement semantics: char offsets index the ENHANCED
+    page, and slicing it back out reproduces each span's text."""
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel.textpage import enhance_page_text
+
+    cfg = ExtractConfig(enable_enhancement=True)
+    text = "lead word  \n\n\n\nsecond chunk " + "pad " * 30 + " \n\n\n\ntail"
+    enhanced, was = enhance_page_text(text, cfg)
+    assert was
+    spans = analyze_turn_naive(text, "user", cfg)
+    assert spans
+    for s in spans:
+        assert enhanced[s.char_start:s.char_end].strip() == s.text
+
+
+def test_enhancement_tool_pages_bypass():
+    """§1 precedes §1e: tool pages are never rewritten even when
+    sparse (their offsets must stay stable for downstream joins)."""
+    from eynollah_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(enable_enhancement=True)
+    text = "result ok  \n\n\n\n\n\n{}"
+    spans_on = analyze_turn_naive(text, "tool", cfg)
+    spans_off = analyze_turn_naive(text, "tool", ExtractConfig())
+    key = lambda s: (s.span_idx, s.region_type, s.char_start, s.char_end, s.text)
+    assert [key(s) for s in spans_on] == [key(s) for s in spans_off]
+    assert page_diag_naive(text, "tool", cfg)["was_enhanced"] is False
