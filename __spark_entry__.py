@@ -1535,7 +1535,65 @@ def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's time-budgeted correctness pass
+    # (round 3 covered the first 50 entries): the rows the driver has
+    # NOT yet hash-checked come first — the eynollah graft itself,
+    # then the dedup/ANN/curation stack — so that across rounds every
+    # oracle row gets at least one driver verification. Everything is
+    # also mirrored per-round in CORRECTNESS_local.json (the pytest
+    # harness correctness_local.py runs all entries).
     return {
+        # the eynollah graft itself. The *_simple family carries exact
+        # SQL oracles (SQL-expressible kernel modes: degenerate,
+        # two-column §6/§6p, §6m marginalia, §1e enhancement); the
+        # full-kernel variants are rows-only here — per-turn equality
+        # is gated by the fixture pytest suites
+        # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
+        "extract_spans_simple": _q_extract_spans_simple,
+        "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
+        "extract_spans_margin_simple": _q_extract_spans_margin_simple,
+        "extract_spans_enhanced_simple": _q_extract_spans_enhanced_simple,
+        "extract_spans_tables_simple": _q_extract_spans_tables_simple,
+        "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
+        "page_diags_simple": _q_page_diags_simple,
+        "page_diags_enhanced_simple": _q_page_diags_enhanced_simple,
+        "e2e_extract_curate": _q_e2e_extract_curate,
+        "e2e_curate_to_shards": _q_e2e_curate_to_shards,
+        "extract_spans": _q_extract_spans,
+        "extract_spans_salted": _q_extract_spans_salted,
+        "extract_spans_tables": _q_extract_spans_tables,
+        "extract_spans_cl": _q_extract_spans_cl,
+        "page_diags": _q_page_diags,
+        # S2 metadata probe (check_dpi analog)
+        "probe_metadata": _q_probe_metadata,
+        # dedup family (driver-unchecked in r03)
+        "paragraph_dedup": _q_paragraph_dedup,
+        "substring_scrub": _q_substring_scrub,
+        "jaccard_pairs": _q_jaccard,
+        "minhash_lsh_pairs": _q_minhash,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_keep_best": _q_near_dup_keep_best,
+        "simhash_pairs": _q_simhash,
+        # curation funnels
+        "curation_survivors": _q_curation_survivors,
+        "curation_full": _q_curation_full,
+        "curation_v2": _q_curation_v2,
+        "curation_funnel": _q_curation_funnel,
+        # similarity search (ANN paths are md5-deterministic, so even
+        # the approximate ones carry exact DuckDB oracles)
+        "embedding_topk": _q_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_recall": _q_ann_recall,
+        "kmeans_embeddings": _q_kmeans,
+        "pq_codes": _q_pq_codes,
+        "semdedup": _q_semdedup,
+        # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        # --- everything below was driver-verified green in r03 ---
         # relational operator families (SURVEY §2.2-2.7) on TPC-H-ish tables
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -1590,53 +1648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "bloom_probe": _q_bloom_probe,
         "turn_dedup": _q_turn_dedup,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "substring_scrub": _q_substring_scrub,
-        "curation_survivors": _q_curation_survivors,
-        "curation_full": _q_curation_full,
-        "curation_v2": _q_curation_v2,
-        "curation_funnel": _q_curation_funnel,
-        "jaccard_pairs": _q_jaccard,
-        "minhash_lsh_pairs": _q_minhash,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "near_dup_keep_best": _q_near_dup_keep_best,
-        "simhash_pairs": _q_simhash,
-        # similarity search (ANN paths are md5-deterministic, so even
-        # the approximate ones carry exact DuckDB oracles)
-        "embedding_topk": _q_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_recall": _q_ann_recall,
-        "kmeans_embeddings": _q_kmeans,
-        "pq_codes": _q_pq_codes,
-        "semdedup": _q_semdedup,
-        # S2 metadata probe (check_dpi analog)
-        "probe_metadata": _q_probe_metadata,
-        # multimodal plumbing (decode stubbed; Spark shapes real) — rows-only
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        # the eynollah graft itself. extract_spans_simple carries an
-        # exact SQL oracle (the SQL-expressible kernel degeneration);
-        # the full-kernel variants are rows-only here — per-turn
-        # equality is gated by the fixture pytest suite
-        # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
-        "extract_spans_simple": _q_extract_spans_simple,
-        "e2e_extract_curate": _q_e2e_extract_curate,
-        "e2e_curate_to_shards": _q_e2e_curate_to_shards,
-        "extract_spans_tables_simple": _q_extract_spans_tables_simple,
-        "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
-        "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
-        "extract_spans_margin_simple": _q_extract_spans_margin_simple,
-        "extract_spans_enhanced_simple": _q_extract_spans_enhanced_simple,
-        "page_diags_enhanced_simple": _q_page_diags_enhanced_simple,
-        "page_diags_simple": _q_page_diags_simple,
-        "extract_spans": _q_extract_spans,
-        "extract_spans_salted": _q_extract_spans_salted,
-        "extract_spans_tables": _q_extract_spans_tables,
-        "extract_spans_cl": _q_extract_spans_cl,
-        "page_diags": _q_page_diags,
     }
 
 
