@@ -64,10 +64,12 @@ def main() -> None:
     # noisy-neighbor interference (BASELINE.md records 1.5x spreads on
     # identical binaries) and the driver records a single bench
     # invocation, so the JSON carries the spread alongside the best
-    # untimed warmup pass (VERDICT r3 #9): the first extraction pays
+    # untimed warmup passes (VERDICT r3 #9): the first extraction pays
     # JIT + codegen + Arrow-batch allocator warmup (driver r3 samples
-    # were still descending at n=3: 8.08/5.09/4.04 s); one throwaway
-    # run puts the timed samples at steady state
+    # were still descending at n=3: 8.08/5.09/4.04 s); two throwaway
+    # runs put the timed samples at steady state (one pass still left
+    # a 33% descent — the JVM C2 compiler needs the second)
+    extract_spans(corpus).count()
     extract_spans(corpus).count()
 
     extract_runs: list[float] = []

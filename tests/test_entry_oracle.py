@@ -181,6 +181,15 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
         "extract_spans_tables_simple",
         "extract_spans_nofull_simple",
         "page_diags_simple",
+        # the non-degenerate column/enhancement family: adversarial and
+        # random token widths fuzz the cell split (left cells of every
+        # length, right cells empty/short/truncated mid-token), so the
+        # SQL valley machinery + §6p + §6m + §1e gates all see
+        # planted/random structure, not just the driver's plain words
+        "extract_spans_twocol_simple",
+        "extract_spans_margin_simple",
+        "extract_spans_enhanced_simple",
+        "page_diags_enhanced_simple",
     ):
         qdf = entrymod.queries()[qname](spark, str(tmp_path))
         qcols = qdf.columns
@@ -259,6 +268,15 @@ def test_simple_oracle_family_randomized_corpus(spark, tmp_path):
         "extract_spans_tables_simple",
         "extract_spans_nofull_simple",
         "page_diags_simple",
+        # the non-degenerate column/enhancement family: adversarial and
+        # random token widths fuzz the cell split (left cells of every
+        # length, right cells empty/short/truncated mid-token), so the
+        # SQL valley machinery + §6p + §6m + §1e gates all see
+        # planted/random structure, not just the driver's plain words
+        "extract_spans_twocol_simple",
+        "extract_spans_margin_simple",
+        "extract_spans_enhanced_simple",
+        "page_diags_enhanced_simple",
     ):
         sdf = entrymod.queries()[qname](spark, str(tmp_path))
         scols = sdf.columns
