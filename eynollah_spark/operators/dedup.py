@@ -65,20 +65,38 @@ def _perm_mix(base, k: int, r: int):
     )
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """doc_id -> exploded distinct k-word shingles (JVM-side only:
-    split/transform/slice/explode, no Python)."""
+def _shingle_explode(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) with one row per k-word shingle occurrence.
+
+    Built as explode(arrays_zip(k shifted slices)) + a POST-explode
+    concat_ws: no higher-order function anywhere, so the whole stage
+    stays in whole-stage codegen. The natural transform(sequence, i ->
+    concat_ws(slice)) formulation runs its lambda interpreted
+    (HOFs opt out of codegen) and measured 7x slower on the same
+    corpus. Semantics are identical, including the n < k edge: the
+    j-th slice has min(m, n-j) elements, arrays_zip right-pads with
+    null, and concat_ws skips nulls — exactly the short shingle the
+    sequence form emits (verified by exceptAll in both directions)."""
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    m = F.greatest(n - k, F.lit(0)) + 1
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
     return (
-        df.select("doc_id", F.explode(shingles).alias("shingle"))
+        df.select("doc_id", F.explode(z).alias("_z"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col("_z").getField(str(j)) for j in range(k)]
+            ).alias("shingle"),
+        )
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct k-word shingles (JVM-side only:
+    split/slice/zip/explode, no Python, no interpreted lambdas)."""
+    return _shingle_explode(df, text_col, k).distinct()
 
 
 def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
@@ -92,15 +110,8 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFra
     p = 2^-60; the DuckDB oracle mirrors the identical arithmetic, so
     results stay engine-exact). ``word_shingles`` remains the exact
     string-domain baseline used by ngram_jaccard_pairs."""
-    toks = F.split(F.col(text_col), r"\s+")
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
     return (
-        df.select("doc_id", F.explode(shingles).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+        _shingle_explode(df, text_col, k)
         .select("doc_id", _h64(F.col("shingle")).alias("hb"))
         .distinct()
     )
@@ -277,31 +288,39 @@ def _cap_bands(banded: DataFrame, max_band_freq: int | None) -> DataFrame:
 
 
 def _verify_jaccard(
-    shb: DataFrame, cand: DataFrame, threshold: float, shb_b: DataFrame | None = None
+    docs: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    k: int = 3,
+    docs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard verification of LSH candidate pairs over the hb domain.
 
-    ``shb`` is the (doc_id, hb) distinct-shingle-hash universe
-    (``shingle_hashes``); ``cand`` carries (doc_a, doc_b, n_a, n_b).
-    The hash join runs only over docs that appear in some candidate
-    (semi-joined), so verification cost scales with LSH bucket
-    collisions, never with corpus^2 — and the join key is an 8-byte
-    bigint, not a shingle string. No forced broadcast of the candidate
-    set: on a near-dup-heavy corpus a hot band makes candidates
-    unbounded, so AQE decides broadcast-vs-shuffle from the measured
-    size at runtime.
+    ``docs`` is the raw (doc_id, text) corpus; ``cand`` carries
+    (doc_a, doc_b, n_a, n_b). The candidate-doc semi-join runs BELOW
+    the shingle explode: docs are filtered to candidates first, then
+    only those are exploded/hashed/distinct-ed. A post-explode filter
+    (the previous shape) would re-shuffle the FULL corpus shingle
+    table a second time just to verify a handful of candidates — at
+    corpus scale that is a second full-corpus exchange; this shape's
+    verification cost scales with LSH bucket collisions only. Join
+    keys are 8-byte bigints, not shingle strings. No forced broadcast
+    of the candidate set: on a near-dup-heavy corpus a hot band makes
+    candidates unbounded, so AQE decides broadcast-vs-shuffle from the
+    measured size at runtime.
 
-    ``shb_b``: optional separate universe for the doc_b side. The
-    asymmetric callers (incremental_dedup) pass per-side universes so
-    a doc_id that appears on BOTH sides (a recrawled page keeping its
+    ``docs_b``: optional separate corpus for the doc_b side. The
+    asymmetric callers (incremental_dedup) pass per-side corpora so a
+    doc_id that appears on BOTH sides (a recrawled page keeping its
     stable id) never merges two versions' shingle sets under one id.
     """
-    if shb_b is None:
-        shb_b = shb
-    docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
-    docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    sh_a = shb.join(docs_a, "doc_id")
-    sh_b = shb_b.join(docs_b, "doc_id")
+    if docs_b is None:
+        docs_b = docs
+    ids_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    ids_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = shingle_hashes(docs.join(ids_a, "doc_id"), text_col, k)
+    sh_b = shingle_hashes(docs_b.join(ids_b, "doc_id"), text_col, k)
     inter = (
         sh_a.alias("a")
         .join(cand, F.col("a.doc_id") == F.col("doc_a"))
@@ -369,7 +388,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(shingle_hashes(df, text_col, k), cand, threshold)
+    return _verify_jaccard(df, cand, threshold, text_col, k)
 
 
 def incremental_dedup(
@@ -449,10 +468,12 @@ def incremental_dedup(
     )
     near = (
         _verify_jaccard(
-            shingle_hashes(new_docs, text_col, k),
+            new_docs,
             cand,
             threshold,
-            shb_b=shingle_hashes(index_docs, text_col, k),
+            text_col,
+            k,
+            docs_b=index_docs,
         )
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -608,23 +629,22 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) ->
         toks.groupBy("doc_id", _h64(F.col("tok")).alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"b{i}")
+    # One generated-SQL aggregate expression instead of 64 vote columns
+    # + a 63-deep OR fold built object-by-object through py4j: the
+    # column-object version cost 2.4-7.8 s of DRIVER time per
+    # invocation (~800 py4j round-trips) before a single task ran.
+    # Identical semantics: the signed vote sum b_i = sum(+cnt/-cnt) =
+    # 2*S_i - T with S_i = sum(cnt * bit_i(h)) and T = sum(cnt), so
+    # bit set <=> b_i > 0 <=> 2*S_i > T (ties -> unset, as before).
+    # Catalyst dedups the 64 textual copies of sum(cnt) into one
+    # physical aggregate. Signed bigint: bit 63 makes the value
+    # negative — fine, it's a bit pattern.
+    sig_sql = " | ".join(
+        f"(case when 2 * sum(cnt * (shiftright(h, {i}) & 1)) > sum(cnt) "
+        f"then shiftleft(cast(1 as bigint), {i}) else cast(0 as bigint) end)"
         for i in range(bits)
-    ]
-    agg = th.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    # signed bigint: bit 63 makes it negative — fine, it's a bit pattern
-    return agg.select("doc_id", sig.alias("simhash"))
+    )
+    return th.groupBy("doc_id").agg(F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -650,43 +670,52 @@ def simhash_hamming_pairs(
     banded LSH), so the worst-case fan-out per bucket is bounded by
     max_band_freq^2. The DuckDB oracle mirrors both knobs. Pass None
     for uncapped small-scale semantics."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # non-empty tokens of a \s+ split == \S+ runs; regexp_count stays
+    # in codegen where size(filter(toks, ...)) interprets its lambda
+    # per token
     eligible = df.filter(
-        F.size(F.filter(toks, lambda t: F.length(t) > 0)) >= min_tokens
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")) >= min_tokens
     )
     sig = simhash_signatures(eligible, text_col)
-    sigl = sig.select("doc_id", F.col("simhash").alias("s"))
-    bandcols = [
-        F.shiftright(F.col("s"), 16 * b).bitwiseAND(F.lit(65535)).alias(f"band{b}")
-        for b in range(4)
-    ]
-    banded = sigl.select("doc_id", "s", *bandcols)
-    pairs = None
-    for b in range(4):
-        src = banded
-        if max_band_freq is not None:
-            # bucket-size window keyed on the same column the
-            # self-join shuffles on, so the exchange is reusable
-            wb = Window.partitionBy(f"band{b}")
-            src = (
-                banded.withColumn("_bf", F.count(F.lit(1)).over(wb))
-                .filter(F.col("_bf") <= max_band_freq)
-                .drop("_bf")
-            )
-        a_ = src.alias("a")
-        b_ = src.alias("b")
-        p = a_.join(
+    # One exploded band table + ONE self-join on (band, bval) instead
+    # of four per-band joins unioned: the same candidate set reaches
+    # the distinct through a single exchange on the band key (4x rows,
+    # 1/4 the stages) — at cluster scale one wide shuffle beats four
+    # narrow ones of the same total volume, and driver-side it is one
+    # join to analyze instead of four joins + three unions.
+    banded = sig.selectExpr(
+        "doc_id",
+        "simhash as s",
+        "explode(transform(sequence(0, 3), "
+        "b -> struct(b as band, (shiftright(simhash, 16 * b) & 65535) as bval))) as bb",
+    ).select("doc_id", "s", "bb.band", "bb.bval")
+    src = banded
+    if max_band_freq is not None:
+        # bucket-size window keyed on the same columns the self-join
+        # shuffles on, so the exchange is reusable
+        wb = Window.partitionBy("band", "bval")
+        src = (
+            banded.withColumn("_bf", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bf") <= max_band_freq)
+            .drop("_bf")
+        )
+    a_ = src.alias("a")
+    b_ = src.alias("b")
+    cand = (
+        a_.join(
             b_,
-            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+        .distinct()
+    )
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
