@@ -4268,13 +4268,18 @@ withreg AS (
     # parquet scans of the same file
     import re as _re
 
-    def _twocol_sql(cell_l: int, cell_r: int, gap: int) -> str:
+    def _materialize(sql_text: str) -> str:
         return _re.sub(
             r"(?m)^(WITH )?(\w+) AS \(",
             lambda m: (m.group(1) or "") + m.group(2) + " AS MATERIALIZED (",
+            sql_text,
+        )
+
+    def _twocol_sql(cell_l: int, cell_r: int, gap: int) -> str:
+        return _materialize(
             _core_prefix(_twocol_corpus(cell_l, cell_r, gap), False, True)
             + _TWOCOL_TAIL
-            + _spans_final,
+            + _spans_final
         )
 
     sql["extract_spans_twocol_simple"] = _twocol_sql(
@@ -4343,7 +4348,11 @@ tl AS (
   SELECT conv_id, turn_idx, CAST(tli0 AS INT), line FROM pflag WHERE NOT flagged
 )"""
 
-    sql["extract_spans_enhanced_simple"] = (
+    # materialized for the same reason as the twocol family: the padded
+    # corpus + enhancement CTEs sit under the whole simple tail, and
+    # DuckDB's CTE inlining re-evaluates them per reference (measured
+    # ~30 s vs ~3 s materialized at sf0.01)
+    sql["extract_spans_enhanced_simple"] = _materialize(
         _core_prefix(_PADDED_CORPUS, False, True) + _SIMPLE_TAIL + _spans_final
     )
 
@@ -4477,7 +4486,7 @@ __DIAG_EXTRA_JOIN__
     sql["page_diags_simple"] = _simple_prefix(False) + _diag_tail("FALSE")
     # the was_enhanced flag (is_image_enhanced analog) is oracle-checked
     # over the padded corpus via the per-turn density gate
-    sql["page_diags_enhanced_simple"] = (
+    sql["page_diags_enhanced_simple"] = _materialize(
         _core_prefix(_PADDED_CORPUS, False, True)
         + _SIMPLE_TAIL
         + _diag_tail("coalesce(pf.fl, FALSE)")
