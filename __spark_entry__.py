@@ -211,6 +211,59 @@ def transcripts_twocol_from_documents(
     )
 
 
+def transcripts_shear_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_l: int = TWOCOL_CELL,
+    cell_r: int = TWOCOL_CELL,
+    gap: int = TWOCOL_GAP,
+) -> DataFrame:
+    """Deterministic SKEWED two-column transcript corpus for the §6d
+    deskew path (return_deskew_slop analog, reference
+    separate_lines.py:1572-1798): each twocol page line (left cell,
+    >= ``gap``-wide gutter, right cell — see
+    transcripts_twocol_from_documents) is indented by k spaces, k the
+    line's index within its turn (0..5, 6 lines per turn, NO blank
+    line, so every full turn is ONE text block). Leads are exactly
+    0..n-1, the integer LS slope is 1.0 >= slope_threshold, and the
+    gutter only aligns into a valley after the shear-grid argmax picks
+    the de-indenting candidate — the sheared-profile gutter scan, the
+    per-line shifted split emission and the §6d no-gutter fallback all
+    become SQL-expressible (oracle: extract_spans_shear_simple)."""
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    lc = F.rtrim(F.substring("line", 1, cell_l))
+    rc = F.trim(F.substring("line", cell_l + 1, cell_r))
+    base = F.when(rc == F.lit(""), lc).otherwise(
+        F.concat(F.rpad(lc, cell_l + gap, " "), rc)
+    )
+    k = (F.col("line_idx") % TWOCOL_LPT).cast("int")
+    cells = lines.select(
+        "doc_id",
+        (F.col("line_idx") / TWOCOL_LPT).cast("int").alias("turn_idx"),
+        k.alias("k"),
+        F.concat(F.repeat(F.lit(" "), k), base).alias("pline"),
+    )
+    turns = cells.groupBy("doc_id", "turn_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "pline"))),
+                lambda x: x["pline"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return turns.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
 def transcripts_padded_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic LOW-DENSITY transcript corpus for the §1e
     enhancement pre-pass (M1 analog): each 8-token wrapped line is
@@ -1491,6 +1544,27 @@ def _q_extract_spans_margin_simple(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_extract_spans_shear_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §6d DESKEW path with an EXACT SQL oracle: over the skewed
+    two-column corpus (transcripts_shear_from_documents) the integer
+    LS-slope gate fires on every >= 3-line block, the shear-grid
+    argmax (candidates {0, sls+-0.5, sls+-0.25, sls}, np.rint shift
+    vectors mirrored by DuckDB round_even, exact-integer variance
+    scores compared by cross-multiplied wp^2) picks the de-indenting
+    shear, the §6 valley machinery runs on the SHEARED profile, and
+    split emission slices each line at its own shift. Blocks where the
+    argmax lands under the threshold or the sheared profile has no
+    valley fall back exactly like the kernel (§6d: emit as unsheared).
+    Reference: separate_lines.py:1572-1798 (return_deskew_slop),
+    utils/__init__.py:363-532 (find_num_col)."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_shear_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=2, small_fragment_max_len=0),
+    )
+
+
 def _q_extract_spans_enhanced_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §1e enhancement pre-pass (M1 analog: run_enhancement,
     reference eynollah.py:381-450,1988-2010) with an EXACT SQL oracle:
@@ -1552,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_simple": _q_extract_spans_simple,
         "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
         "extract_spans_margin_simple": _q_extract_spans_margin_simple,
+        "extract_spans_shear_simple": _q_extract_spans_shear_simple,
         "extract_spans_enhanced_simple": _q_extract_spans_enhanced_simple,
         "extract_spans_tables_simple": _q_extract_spans_tables_simple,
         "extract_spans_nofull_simple": _q_extract_spans_nofull_simple,
@@ -4170,7 +4245,12 @@ centr AS (
               THEN 'marginalia' ELSE 'text' END AS rt
   FROM cent
   WINDOW wr AS (PARTITION BY conv_id, turn_idx, rid)
-),
+)"""
+
+    # emission suffix shared by every column-splitting tail (twocol,
+    # margin, shear): consumes centr/teff/pageg/pband/csp/rspans/voted
+    # and ends in withreg
+    _COLS_EMIT_TAIL = """,
 units AS (  -- emission units: split col entries + unsplit/non-text regions
   SELECT c.conv_id, c.turn_idx, c.rid, c.col, c.rt,
          v.first_tli, v.band AS band0, true AS is_entry
@@ -4279,6 +4359,7 @@ withreg AS (
         return _materialize(
             _core_prefix(_twocol_corpus(cell_l, cell_r, gap), False, True)
             + _TWOCOL_TAIL
+            + _COLS_EMIT_TAIL
             + _spans_final
         )
 
@@ -4287,6 +4368,322 @@ withreg AS (
     )
     # narrow right column: the §6m projection-marginalia relabel fires
     sql["extract_spans_margin_simple"] = _twocol_sql(40, 12, TWOCOL_GAP)
+
+    # --- §6d deskew (shear-grid) oracle -------------------------------
+    # corpus: the twocol page lines, indented by k spaces (k = line
+    # index within the 6-line turn, NO blank line -> one block/turn)
+    _SHEAR_CORPUS = """toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+linelists AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(tk) / 8.0) AS INT)),
+                        i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+  FROM linelists_src
+),
+l0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+         unnest(ls) AS line
+  FROM linelists
+),
+twl AS (
+  SELECT doc_id,
+         CAST(line_idx // 6 AS INT) AS turn_idx,
+         line_idx % 6 AS k,
+         CASE WHEN trim(substr(line, __CL__ + 1, __CR__), ' ') = ''
+              THEN rtrim(substr(line, 1, __CL__), ' ')
+              ELSE rpad(rtrim(substr(line, 1, __CL__), ' '), __RS__, ' ')
+                   || trim(substr(line, __CL__ + 1, __CR__), ' ') END AS base
+  FROM l0
+),
+tl AS (  -- 6 page lines per turn, line k indented by k spaces (§6d skew)
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id, turn_idx,
+         CAST(k AS INT) AS tli,
+         repeat(' ', CAST(k AS INT)) || base AS line
+  FROM twl
+)""".replace(
+        "linelists_src", "toks"
+    ).replace(
+        "__CL__", str(TWOCOL_CELL)
+    ).replace(
+        "__CR__", str(TWOCOL_CELL)
+    ).replace(
+        "__RS__", str(TWOCOL_CELL + TWOCOL_GAP)
+    )
+
+    # the shear tail: §6d shear-grid argmax in SQL (np.rint ==
+    # round_even; exact-integer variance scores compared by
+    # cross-multiplied wp^2, first-wins), sheared-profile valley scan,
+    # per-line shifted split emission, and the kernel's exact
+    # fallbacks (argmax under threshold / no sheared valley -> emit as
+    # unsheared). Reference: separate_lines.py:1572-1798
+    # (return_deskew_slop), utils/__init__.py:363-532 (find_num_col).
+    _SHEAR_TAIL = """,
+txtl AS (  -- lines of post-vote TEXT regions + within-block index k
+  SELECT r.conv_id, r.turn_idx, r.rid, r.tli, r.line, r.rlen, r.lead,
+         r.line_start, v.n_lines,
+         row_number() OVER (PARTITION BY r.conv_id, r.turn_idx, r.rid
+                            ORDER BY r.tli) - 1 AS k
+  FROM rr r JOIN voted v USING (conv_id, turn_idx, rid)
+  WHERE v.vcls = 'text' AND r.cls NOT IN ('blank', 'fence')
+),
+inkc AS (  -- inked cells (pos < rlen, non-space) of every text line
+  SELECT conv_id, turn_idx, rid, tli, k, pos FROM (
+    SELECT conv_id, turn_idx, rid, tli, k, line, unnest(range(rlen)) AS pos
+    FROM txtl
+  ) WHERE substr(line, CAST(pos + 1 AS INT), 1) <> ' '
+),
+slp AS (  -- exact integer LS slope A/B of lead vs k per >= 3-line block
+  SELECT conv_id, turn_idx, rid,
+         count(*) * sum(k * lead) - sum(k) * sum(lead) AS sa,
+         count(*) * sum(k * k) - sum(k) * sum(k) AS sb
+  FROM txtl GROUP BY conv_id, turn_idx, rid
+  HAVING count(*) >= 3
+),
+sg8 AS (  -- §6d gate: B > 0 and |A| >= slope_threshold * B
+  SELECT *, CAST(sa AS DOUBLE) / sb AS sls FROM slp
+  WHERE sb > 0 AND abs(sa) >= 0.13 * sb
+),
+cands AS (  -- shear grid: {0, sls-0.5, sls-0.25, sls, sls+0.25, sls+0.5}
+  SELECT conv_id, turn_idx, rid, ci,
+         CASE ci WHEN 0 THEN 0.0 WHEN 1 THEN sls - 0.5 WHEN 2 THEN sls - 0.25
+                 WHEN 3 THEN sls WHEN 4 THEN sls + 0.25 ELSE sls + 0.5 END AS c
+  FROM sg8, (SELECT CAST(unnest(range(6)) AS INT) AS ci)
+),
+shv0 AS (  -- raw shift per (candidate, line): np.rint == round_even
+  SELECT cd.conv_id, cd.turn_idx, cd.rid, cd.ci, cd.c, t.k, t.tli, t.rlen,
+         CAST(round_even(cd.c * t.k, 0) AS BIGINT) AS rw
+  FROM cands cd JOIN txtl t USING (conv_id, turn_idx, rid)
+),
+shv AS (  -- normalized shift vector (min 0)
+  SELECT *, rw - min(rw) OVER (PARTITION BY conv_id, turn_idx, rid, ci) AS sh
+  FROM shv0
+),
+shwp AS (  -- per-candidate sheared width wp = max(len_k - shift_k)
+  SELECT conv_id, turn_idx, rid, ci, any_value(c) AS c,
+         max(rlen - sh) AS wp
+  FROM shv GROUP BY conv_id, turn_idx, rid, ci
+),
+cprof AS (  -- sheared ink profile per candidate (idx >= 0 only)
+  SELECT s.conv_id, s.turn_idx, s.rid, s.ci, i.pos - s.sh AS idx,
+         count(*) AS cnt
+  FROM shv s JOIN inkc i USING (conv_id, turn_idx, rid, tli)
+  WHERE i.pos - s.sh >= 0
+  GROUP BY s.conv_id, s.turn_idx, s.rid, s.ci, idx
+),
+cscore AS (  -- exact-integer variance score: wp * sum(p^2) - sum(p)^2
+  SELECT w.conv_id, w.turn_idx, w.rid, w.ci, w.c, w.wp,
+         w.wp * coalesce(sum(p.cnt * p.cnt), 0)
+           - coalesce(sum(p.cnt), 0) * coalesce(sum(p.cnt), 0) AS score
+  FROM shwp w
+  LEFT JOIN cprof p USING (conv_id, turn_idx, rid, ci)
+  WHERE w.wp > 0
+  GROUP BY w.conv_id, w.turn_idx, w.rid, w.ci, w.c, w.wp
+),
+cwinner AS (  -- first-wins argmax under the exact rational order
+  SELECT w.* FROM cscore w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cscore o
+    WHERE o.conv_id = w.conv_id AND o.turn_idx = w.turn_idx
+      AND o.rid = w.rid AND o.ci <> w.ci
+      AND (o.score * w.wp * w.wp > w.score * o.wp * o.wp
+           OR (o.score * w.wp * w.wp = w.score * o.wp * o.wp
+               AND o.ci < w.ci))
+  )
+),
+shwin AS (  -- sheared blocks: the winner passes the final |s| gate
+  SELECT * FROM cwinner WHERE abs(c) >= 0.13
+),
+spw AS (  -- valley-scan scopes: sheared blocks / normal blocks / page
+  SELECT conv_id, turn_idx, 's' AS sc, rid AS sk, CAST(wp AS BIGINT) AS w
+  FROM shwin
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, 'b', t.rid, max(t.rlen)
+  FROM txtl t
+  WHERE t.n_lines >= 3 AND NOT EXISTS (
+    SELECT 1 FROM shwin sw WHERE sw.conv_id = t.conv_id
+      AND sw.turn_idx = t.turn_idx AND sw.rid = t.rid)
+  GROUP BY t.conv_id, t.turn_idx, t.rid
+  UNION ALL
+  SELECT conv_id, turn_idx, 'p', 0, max(rlen) FROM txtl
+  GROUP BY conv_id, turn_idx
+),
+rawcnt AS (  -- raw per-position ink counts per scope
+  SELECT s.conv_id, s.turn_idx, 's' AS sc, s.rid AS sk,
+         i.pos - s.sh AS pos, count(*) AS icnt
+  FROM shv s
+  JOIN shwin w USING (conv_id, turn_idx, rid, ci)
+  JOIN inkc i USING (conv_id, turn_idx, rid, tli)
+  WHERE i.pos - s.sh >= 0
+  GROUP BY s.conv_id, s.turn_idx, s.rid, (i.pos - s.sh)
+  UNION ALL
+  SELECT i.conv_id, i.turn_idx, 'b', i.rid, i.pos, count(*)
+  FROM inkc i
+  WHERE EXISTS (SELECT 1 FROM spw w WHERE w.sc = 'b'
+                AND w.conv_id = i.conv_id AND w.turn_idx = i.turn_idx
+                AND w.sk = i.rid)
+  GROUP BY i.conv_id, i.turn_idx, i.rid, i.pos
+  UNION ALL
+  SELECT conv_id, turn_idx, 'p', 0, pos, count(*)
+  FROM inkc GROUP BY conv_id, turn_idx, pos
+),
+sprof AS (
+  SELECT a.conv_id, a.turn_idx, a.sc, a.sk, a.w, a.pos,
+         coalesce(i.icnt, 0) AS cnt
+  FROM (SELECT conv_id, turn_idx, sc, sk, w, unnest(range(w)) AS pos
+        FROM spw WHERE w >= 2) a
+  LEFT JOIN rawcnt i USING (conv_id, turn_idx, sc, sk, pos)
+),
+ssm AS (  -- integer gaussian smoothing, sigma=1.0: radius 3, weights
+          -- round(1e6*exp(-k^2/2)) = [1000000, 606531, 135335, 11109]
+  SELECT *,
+         1000000 * cnt
+         + 606531 * (coalesce(lag(cnt, 1) OVER wp, 0) + coalesce(lead(cnt, 1) OVER wp, 0))
+         + 135335 * (coalesce(lag(cnt, 2) OVER wp, 0) + coalesce(lead(cnt, 2) OVER wp, 0))
+         + 11109 * (coalesce(lag(cnt, 3) OVER wp, 0) + coalesce(lead(cnt, 3) OVER wp, 0))
+           AS sm
+  FROM sprof
+  WINDOW wp AS (PARTITION BY conv_id, turn_idx, sc, sk ORDER BY pos)
+),
+sagg AS (
+  SELECT *,
+         max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk) AS max_s,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS fmax_prev,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                    ORDER BY pos
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS bmax_next
+  FROM ssm
+),
+sruns AS (  -- valley runs on the RAW profile: cnt <= stray(1), width >= 2,
+            -- >= 1 truly blank column, center within [0.15, 0.85] of width
+  SELECT conv_id, turn_idx, sc, sk, min(w) AS w, min(pos) AS a, max(pos) AS b
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY conv_id, turn_idx, sc, sk
+                                       ORDER BY pos) AS grp
+    FROM sprof WHERE cnt <= 1
+  )
+  GROUP BY conv_id, turn_idx, sc, sk, grp
+  HAVING max(pos) - min(pos) >= 1
+     AND max(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) = 1
+     AND (min(pos) + max(pos)) // 2 >= CAST(0.15 AS DOUBLE) * min(w)
+     AND (min(pos) + max(pos)) // 2 <= CAST(0.85 AS DOUBLE) * min(w)
+),
+sdep AS (
+  SELECT r.conv_id, r.turn_idx, r.sc, r.sk, r.w, r.a, r.b, min(g.sm) AS depth
+  FROM sruns r JOIN sagg g USING (conv_id, turn_idx, sc, sk)
+  WHERE g.pos BETWEEN r.a AND r.b
+  GROUP BY r.conv_id, r.turn_idx, r.sc, r.sk, r.w, r.a, r.b
+),
+sgut AS (  -- depth + two-sided prominence gates, then W6: deepest kmax=1
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY d.conv_id, d.turn_idx, d.sc, d.sk
+                                   ORDER BY d.depth, d.a, d.b) AS rn
+    FROM sdep d
+    JOIN sagg ga ON ga.conv_id = d.conv_id AND ga.turn_idx = d.turn_idx
+                AND ga.sc = d.sc AND ga.sk = d.sk AND ga.pos = d.a
+    JOIN sagg gb ON gb.conv_id = d.conv_id AND gb.turn_idx = d.turn_idx
+                AND gb.sc = d.sc AND gb.sk = d.sk AND gb.pos = d.b
+    WHERE ga.max_s > 0
+      AND d.depth * 100 <= 20 * ga.max_s
+      AND least(ga.fmax_prev, gb.bmax_next) * 100 >= 50 * ga.max_s
+  ) WHERE rn = 1
+),
+beff AS (  -- per-block effective gutters (pre page-mode): sheared or not
+  SELECT conv_id, turn_idx, sk AS rid, a, b, w, true AS sheared
+  FROM sgut WHERE sc = 's'
+  UNION ALL
+  SELECT conv_id, turn_idx, sk, a, b, w, false FROM sgut WHERE sc = 'b'
+),
+pageg AS (  -- §6p trigger: >= 2 text blocks AND any block shows columns
+  SELECT g.conv_id, g.turn_idx, g.a AS pg_a, g.b AS pg_b, g.w AS pg_w
+  FROM sgut g
+  WHERE g.sc = 'p'
+    AND EXISTS (SELECT 1 FROM beff b WHERE b.conv_id = g.conv_id
+                AND b.turn_idx = g.turn_idx)
+    AND (SELECT count(*) FROM voted v WHERE v.conv_id = g.conv_id
+         AND v.turn_idx = g.turn_idx AND v.vcls = 'text') >= 2
+),
+pband AS (  -- §6p band recompute (same rule as the twocol tail)
+  SELECT r.conv_id, r.turn_idx, r.tli,
+         coalesce(sum(CASE WHEN (r.cls = 'blank' AND r.run_len = 2)
+                             OR (r.cls = 'separator' AND r.slen > 0
+                                 AND r.lead <= p.pg_b
+                                 AND r.lead + r.slen - 1 > p.pg_b)
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY r.conv_id, r.turn_idx ORDER BY r.tli
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pb
+  FROM rr r JOIN pageg p USING (conv_id, turn_idx)
+),
+teff AS (  -- effective gutter per text region: page overrides block;
+           -- page mode discards the block's shear (kernel: shifts=None)
+  SELECT v.conv_id, v.turn_idx, v.rid,
+         coalesce(pg.pg_a, bg.a) AS g_a, coalesce(pg.pg_b, bg.b) AS g_b,
+         CASE WHEN pg.pg_a IS NOT NULL THEN pg.pg_w ELSE bg.w END AS g_w,
+         CASE WHEN pg.pg_a IS NOT NULL THEN false
+              ELSE coalesce(bg.sheared, false) END AS sheared
+  FROM voted v
+  LEFT JOIN pageg pg ON pg.conv_id = v.conv_id AND pg.turn_idx = v.turn_idx
+  LEFT JOIN beff bg ON bg.conv_id = v.conv_id
+                   AND bg.turn_idx = v.turn_idx AND bg.rid = v.rid
+                   AND pg.pg_a IS NULL
+  WHERE v.vcls = 'text'
+),
+wsh AS (  -- the winning shift vector per sheared block line
+  SELECT s.conv_id, s.turn_idx, s.rid, s.tli, s.sh
+  FROM shv s JOIN shwin w USING (conv_id, turn_idx, rid, ci)
+),
+csp AS (  -- §6 split emission: per-line per-column stripped pieces,
+          -- each line sliced at [seg + its own shift)
+  SELECT c.conv_id, c.turn_idx, c.rid, c.col, t.tli,
+         CASE WHEN c.sheared THEN coalesce(ws.sh, 0) ELSE 0 END AS shx,
+         substr(t.line, CAST(c.seg_a + shx + 1 AS INT),
+                CAST(c.seg_b - c.seg_a AS INT)) AS piece,
+         trim(piece, ' ') AS s,
+         t.line_start + c.seg_a + shx + length(piece)
+           - length(ltrim(piece, ' ')) AS cs
+  FROM (
+    SELECT conv_id, turn_idx, rid, 0 AS col, 0 AS seg_a, g_a AS seg_b, sheared
+    FROM teff WHERE g_a IS NOT NULL
+    UNION ALL
+    SELECT conv_id, turn_idx, rid, 1, g_b + 1, g_w, sheared
+    FROM teff WHERE g_a IS NOT NULL
+  ) c
+  JOIN txtl t USING (conv_id, turn_idx, rid)
+  LEFT JOIN wsh ws ON ws.conv_id = c.conv_id AND ws.turn_idx = c.turn_idx
+                  AND ws.rid = c.rid AND ws.tli = t.tli
+  WHERE s <> ''
+),
+cent AS (  -- §6m column entries (2 columns: sibling width = total - own)
+  SELECT c.conv_id, c.turn_idx, c.rid, c.col, c.max_sp_len,
+         CASE c.col WHEN 0 THEN e.g_a ELSE e.g_w - (e.g_b + 1) END AS wd,
+         e.g_w
+  FROM (SELECT conv_id, turn_idx, rid, col, max(length(s)) AS max_sp_len
+        FROM csp GROUP BY conv_id, turn_idx, rid, col) c
+  JOIN teff e USING (conv_id, turn_idx, rid)
+),
+centr AS (
+  SELECT *,
+         CASE WHEN count(*) OVER wr >= 2
+                   AND wd * 100 <= 25 * g_w
+                   AND 2 * wd <= sum(wd) OVER wr - wd
+                   AND max_sp_len <= 24
+              THEN 'marginalia' ELSE 'text' END AS rt
+  FROM cent
+  WINDOW wr AS (PARTITION BY conv_id, turn_idx, rid)
+)"""
+
+    sql["extract_spans_shear_simple"] = _materialize(
+        _core_prefix(_SHEAR_CORPUS, False, True)
+        + _SHEAR_TAIL
+        + _COLS_EMIT_TAIL
+        + _spans_final
+    )
 
     # padded corpus + §1e enhancement (M1 analog) in SQL: lines are
     # pre-truncated to the wrap width (substr 80) so the greedy re-wrap

@@ -188,6 +188,7 @@ def test_extract_spans_simple_oracle_adversarial(spark, tmp_path):
         # planted/random structure, not just the driver's plain words
         "extract_spans_twocol_simple",
         "extract_spans_margin_simple",
+        "extract_spans_shear_simple",
         "extract_spans_enhanced_simple",
         "page_diags_enhanced_simple",
     ):
@@ -275,6 +276,7 @@ def test_simple_oracle_family_randomized_corpus(spark, tmp_path):
         # planted/random structure, not just the driver's plain words
         "extract_spans_twocol_simple",
         "extract_spans_margin_simple",
+        "extract_spans_shear_simple",
         "extract_spans_enhanced_simple",
         "page_diags_enhanced_simple",
     ):
