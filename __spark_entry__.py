@@ -1135,7 +1135,12 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     eraw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qraw = eraw.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
-    truth = _q_topk(spark, sf_dir).select("query_id", "vec_id")
+    # truth is consumed by all three recall joins and each approx frame
+    # by both its recall join AND its cost aggregate; without a persist
+    # Spark re-executes the brute-force scan 3x and every index build
+    # (kmeans, codebooks) 2x. All persisted frames are bounded by
+    # n_queries * k rows, so this is scale-safe at any corpus size.
+    truth = _q_topk(spark, sf_dir).select("query_id", "vec_id").persist()
     n_corp = e.agg(F.count(F.lit(1)).alias("n_corpus"))
     specs = (
         (
@@ -1166,6 +1171,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for name, approx, probes in specs:
+        approx = approx.persist()
         recall = (
             truth.join(
                 approx.select("query_id", "vec_id", F.lit(1).alias("_hit")),
@@ -1269,11 +1275,19 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
 
 
-def _curation_v2_stages(spark: SparkSession, sf_dir: str) -> dict:
+def _curation_v2_stages(
+    spark: SparkSession, sf_dir: str, persist_stages: bool = False
+) -> dict:
     """Stage frames of the v2 curation flow, shared by the survivor
     query and the funnel: the bigram-LM cross-entropy cap (CCNet
     perplexity filter analog) and the hashed linear classifier keep
-    gate (fastText filter analog) on top of curation_full's chain."""
+    gate (fastText filter analog) on top of curation_full's chain.
+
+    ``persist_stages`` is set by the funnel query, whose 9 stage
+    counts would otherwise each re-execute their full prefix chain
+    (O(stages^2) gate work). Only survivor frames are persisted —
+    gate outputs are doc_id-only and shrink down-funnel; the corpus
+    scan itself is never cached (at 10^12 turns that IS the data)."""
     from eynollah_spark.operators.text_analysis import (
         bigram_lm_scores,
         contamination_check,
@@ -1313,6 +1327,9 @@ def _curation_v2_stages(spark: SparkSession, sf_dir: str) -> dict:
         "doc_id"
     ).distinct()
     final = deduped.join(contaminated, "doc_id", "left_anti").select("doc_id")
+    if persist_stages:
+        for frame in (q, rep_ok, pii_ok, lm_ok, clf_ok, gated, kept, deduped):
+            frame.persist()
     return {
         "docs": docs,
         "rep_ok": rep_ok,
@@ -1336,7 +1353,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-gate survivor counts over the v2 chain — the funnel every
     curation pipeline reports (one row; each count a broadcast 1-row
     aggregate crossJoined in)."""
-    s = _curation_v2_stages(spark, sf_dir)
+    s = _curation_v2_stages(spark, sf_dir, persist_stages=True)
     counts = [
         ("n_input", s["docs"]),
         ("n_repetition_ok", s["rep_ok"]),
