@@ -630,54 +630,157 @@ def _pq_frames(
     at the original quantization scale and every downstream cosine is
     an exact int64 fold.
 
-    Scale shape: m independent kmeans chains (each: bounded k-row
-    broadcast per assign, one (centroid, dim)-keyed partial agg per
-    iteration); codes-to-recon joins broadcast the m*k-entry codebook;
-    the m per-subspace assignments re-join on vec_id (hash joins on
-    the id — AQE-splittable, no skew key).
+    Scale shape: the m sub-kmeans run as ONE grouped Lloyd chain over
+    an exploded (sub_id, vec_id, subvector) frame — every assignment
+    is a broadcast of the m*k-entry codebook plus one map-side-partial
+    `max_by` groupBy on (sub_id, vec_id), every centroid update one
+    (sub_id, centroid, dim)-keyed partial agg, and the m per-subspace
+    results pivot back to wide in one groupBy(vec_id). The per-
+    subspace formulation (m separate chains re-joined on vec_id) did
+    the same arithmetic with m times the exchanges and an m-way join
+    fan-in; the grouped plan is both shallower for Catalyst and
+    strictly fewer shuffles at corpus scale. Init, argmax tiebreak
+    (highest cosine, then lowest centroid_id), exact-int sums and the
+    round-of-mean reconstruction are bit-identical to the ungrouped
+    chain (guarded by the pq fixtures and the DuckDB oracle).
 
     Returns one row per doc: (vec_id, code0..code{m-1}, v (full
     quantized vector), rvec (full integer reconstruction)).
     """
     sub = dim // m
     assert sub * m == dim, "dim must divide into m equal subspaces"
-    out = corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        _exact_guard(_quantize(F.col(vec_col), scale), scale).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        _exact_guard(
+                            _quantize(
+                                F.slice(F.col(vec_col), s * sub + 1, sub), scale
+                            ),
+                            scale,
+                        ).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub_id").alias("sub_id"), F.col("e.v").alias("v"))
+
+    # Deterministic init: the k corpus vectors with smallest md5-rank
+    # (same hash for every subspace, exactly as the per-subspace
+    # chains computed it) — TakeOrderedAndProject, no global sort.
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmeans:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
     )
-    for s in range(m):
-        c_s = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            _exact_guard(
-                _quantize(F.slice(F.col(vec_col), s * sub + 1, sub), scale), scale
-            ).alias("v"),
+    picked = (
+        corpus.select(F.col(id_col).alias("vec_id"), hcol.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    seed_ids = picked.select(
+        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias(
+            "centroid_id"
+        ),
+        "vec_id",
+    )
+    cent = c.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub_id", "centroid_id", F.col("v").alias("cvec")
+    )
+    sizes = cent.select(
+        "sub_id", "centroid_id", F.lit(1).cast("bigint").alias("n_members")
+    )
+
+    def assign(cents):
+        scored = c.join(F.broadcast(cents), "sub_id").withColumn(
+            "cos", _int_cosine(F.col("v"), F.col("cvec"))
         )
-        assigned, cent, sizes = _lloyd_chain(c_s, k, iters, scale)
-        # k-row x k-row join: force broadcast (stats are unknown on
-        # these derived frames, so Spark would otherwise sort-merge)
-        recon = cent.join(F.broadcast(sizes), "centroid_id").select(
-            "centroid_id",
-            F.transform(
-                "cvec",
-                lambda x: F.round(x.cast("double") / F.col("n_members")).cast(
-                    "bigint"
-                ),
-            ).alias("rvec"),
-        )
-        part = (
-            assigned.join(F.broadcast(recon), "centroid_id")
+        # argmax via max_by (highest cos, then lowest centroid_id):
+        # partial-aggregates map-side, so the shuffle carries one row
+        # per (sub_id, vec_id) instead of k candidate rows.
+        return (
+            scored.groupBy("sub_id", "vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.max_by(
+                    F.struct("centroid_id", "cos"),
+                    F.struct(F.col("cos"), -F.col("centroid_id")),
+                ).alias("_b"),
+            )
             .select(
+                "sub_id",
                 "vec_id",
-                F.col("centroid_id").alias(f"code{s}"),
-                F.col("rvec").alias(f"_r{s}"),
+                "v",
+                F.col("_b.centroid_id").alias("centroid_id"),
+                F.col("_b.cos").alias("cos"),
             )
         )
-        out = out.join(part, "vec_id")
-    return out.select(
+
+    assigned = assign(cent)
+    for _ in range(iters):
+        cent = (
+            assigned.select(
+                "sub_id", "centroid_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("sub_id", "centroid_id", "dim")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("sub_id", "centroid_id")
+            .agg(
+                _exact_guard(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    scale,
+                ).alias("cvec")
+            )
+        )
+        sizes = assigned.groupBy("sub_id", "centroid_id").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        assigned = assign(cent)
+
+    # Integer mean reconstruction per (sub_id, centroid): m*k rows.
+    recon = cent.join(F.broadcast(sizes), ["sub_id", "centroid_id"]).select(
+        "sub_id",
+        "centroid_id",
+        F.transform(
+            "cvec",
+            lambda x: F.round(x.cast("double") / F.col("n_members")).cast(
+                "bigint"
+            ),
+        ).alias("rvec"),
+    )
+    # Pivot the m subspace rows back to one wide row per doc; the
+    # full quantized vector is the subspace slices re-concatenated
+    # (quantization is componentwise), re-guarded at full dim exactly
+    # as the ungrouped version guarded its corpus projection.
+    wide = (
+        assigned.join(F.broadcast(recon), ["sub_id", "centroid_id"])
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "centroid_id", "v", "rvec"))
+            ).alias("_a")
+        )
+    )
+    return wide.select(
         "vec_id",
-        *[F.col(f"code{s}") for s in range(m)],
-        "v",
-        F.concat(*[F.col(f"_r{s}") for s in range(m)]).alias("rvec"),
+        *[F.col("_a")[s]["centroid_id"].alias(f"code{s}") for s in range(m)],
+        _exact_guard(
+            F.flatten(F.transform("_a", lambda x: x["v"])), scale
+        ).alias("v"),
+        F.flatten(F.transform("_a", lambda x: x["rvec"])).alias("rvec"),
     )
 
 

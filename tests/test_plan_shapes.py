@@ -190,3 +190,19 @@ def test_train_shard_stats_single_agg_exchange(spark):
     plan = _plan(em.queries()["train_shards"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()
+
+
+def test_pq_grouped_chain_bounded_shuffles(spark):
+    """The m per-subspace PQ kmeans chains run as ONE grouped Lloyd
+    chain: assignments are broadcast-codebook joins + map-side-partial
+    max_by aggs, so the whole pq_codes plan stays under a fixed
+    shuffle budget and never sort-merge-joins (the per-subspace
+    formulation compiled to 72 shuffles / 96 windows / 3 SMJs)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pq_codes"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 25, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") <= 5
