@@ -493,6 +493,50 @@ def _q_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # shingle width (matches the jaccard/fingerprint family)
+WINNOW_W = 4  # winnowing window: shares any >= W+K-1-token run
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    per-window minimum over k-gram hashes, distinct per doc — the
+    sub-sampled near-dup sketch between full-shingle Jaccard and the
+    single-min doc_fingerprint. All-codegen array expressions, zero
+    shuffle."""
+    from eynollah_spark.operators.text_analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+TOKEN_BUDGET = 700  # per-source token budget (~half of each sf0.01 source)
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget mixing: deterministic-hash-ordered
+    prefix per source whose cumulative token count stays <= budget,
+    via the two-level (bucketed) distributed prefix sum."""
+    from eynollah_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        budget=TOKEN_BUDGET,
+    )
+
+
+CDC_MOD = 8  # expected content-defined chunk length in tokens
+
+
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (stateless gear CDC): shift-
+    invariant chunk frames catch duplicated passages at different
+    offsets; one shuffle on md5(chunk), per-doc dup-token summary."""
+    from eynollah_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(spark, sf_dir), boundary_mod=CDC_MOD)
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eynollah_spark.operators.text_analysis import pii_scrub
 
@@ -1658,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_diags": _q_page_diags,
         # S2 metadata probe (check_dpi analog)
         "probe_metadata": _q_probe_metadata,
+        # round-4 additions (driver-unchecked yet — keep early in order)
+        "winnowing_fingerprints": _q_winnowing,
+        "token_budget_sample": _q_token_budget_sample,
+        "cdc_dedup": _q_cdc_dedup,
         # dedup family (driver-unchecked in r03)
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
@@ -2285,6 +2333,79 @@ SELECT doc_id,
        list_min(list_transform(range(greatest(len(tk) - 3, 0) + 1),
                                i -> {shingle_h})) AS fingerprint
 FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+"""
+
+    win_h = _h64sql(f"array_to_string(tk[i+1 : i+{WINNOW_K}], ' ')")
+    sql["winnowing_fingerprints"] = f"""
+WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(tk) - {WINNOW_K}, 0) + 1),
+                        i -> {win_h}) AS hs
+  FROM tk
+),
+wm AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(greatest(len(hs) - {WINNOW_W}, 0) + 1),
+                                      j -> list_min(hs[j+1 : j+{WINNOW_W}]))) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(hs) AS INT) AS n_grams,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       CAST(list_aggregate(fps, 'bit_xor') AS BIGINT) AS fp_xor
+FROM wm
+"""
+
+    tb_h = _h64sql("(CAST(doc_id AS VARCHAR) || ':tb0')")
+    sql["token_budget_sample"] = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         {tb_h} % 1000000 AS hk
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {TOKEN_BUDGET}
+"""
+
+    cdc_h = _h64sql("tk[i]")
+    sql["cdc_dedup"] = f"""
+WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+bp AS (
+  SELECT doc_id, tk,
+         list_filter(range(1, len(tk) + 1), i -> ({cdc_h} % {CDC_MOD}) = 0) AS bpos
+  FROM tk
+),
+se AS (
+  SELECT doc_id, tk,
+         list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+         list_append(bpos, len(tk)) AS ends
+  FROM bp
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[starts[j+1] : ends[j+1]], ' ')) AS h,
+         ends[j+1] - starts[j+1] + 1 AS nw
+  FROM se, UNNEST(range(len(starts))) AS u(j)
+  WHERE starts[j+1] <= ends[j+1]
+),
+sh AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT ch.doc_id,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+       round(sum(CASE WHEN sh.h IS NOT NULL THEN nw ELSE 0 END) * 1.0 / sum(nw), 6)
+         AS dup_token_frac
+FROM ch LEFT JOIN sh ON ch.h = sh.h
+GROUP BY ch.doc_id
 """
 
     pc_chars = ", ".join(

@@ -1077,3 +1077,86 @@ def turn_dedup(
         )
         .withColumn("is_repeat", F.col(idx_col) > F.col("first_turn_idx"))
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    boundary_mod: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunk dedup (the rsync/FastCDC idea in its
+    stateless gear form, at token granularity): a chunk boundary falls
+    AFTER token i whenever h64(token_i) % boundary_mod == 0, so chunk
+    frames depend only on LOCAL content — inserting or deleting a
+    prefix shifts every fixed-width frame but leaves content-defined
+    chunks beyond the next boundary identical. That shift-invariance
+    is what catches duplicated passages embedded at different offsets
+    (quoted replies, re-pasted tool output, boilerplate mid-page) that
+    exact-doc and paragraph dedup both miss; expected chunk length is
+    ~boundary_mod tokens.
+
+    Plan shape: boundary positions, chunk frames and chunk hashes are
+    all scan-side array expressions (whole-stage codegen, no UDF);
+    then ONE shuffle on md5(chunk) to find chunks shared by >=
+    ``min_docs`` distinct docs, and one groupBy(doc_id) to fold the
+    per-doc summary. No windows, no driver action; chunk fan-out per
+    doc is n_tokens/boundary_mod in expectation and never exceeds
+    n_tokens.
+
+    Returns one row per doc: (doc_id, n_chunks, n_dup_chunks,
+    dup_token_frac) where dup_token_frac is the fraction of the doc's
+    tokens inside chunks that also appear in >= min_docs docs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (_h64(F.element_at(toks, i)) % boundary_mod) == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    segs = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda z: z.getField("s") <= z.getField("e"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                segs,
+                lambda z: F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                toks,
+                                z.getField("s"),
+                                z.getField("e") - z.getField("s") + 1,
+                            ),
+                        )
+                    ).alias("h"),
+                    (z.getField("e") - z.getField("s") + 1)
+                    .cast("bigint")
+                    .alias("nw"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.nw").alias("nw"))
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return chunks.join(shared, "h", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("int").alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("_dup").isNotNull(), F.col("nw")).otherwise(F.lit(0)))
+            / F.sum("nw"),
+            6,
+        ).alias("dup_token_frac"),
+    )

@@ -94,6 +94,86 @@ def per_group_quota(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "tb0",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-group TOKEN-budget selection: keep, for each group (source/
+    domain/language), the maximal deterministic-hash-ordered prefix of
+    docs whose cumulative whitespace-token count stays within
+    ``budget`` — the "N tokens per domain" mixing recipe, keyed on
+    tokens rather than doc counts (``per_group_quota``'s unit).
+
+    Order within a group is ``(md5(doc_id ++ ':seed'), doc_id)`` —
+    cluster-layout independent and unbiased by doc length or position,
+    so the kept set is identical on 1 executor or 1000, and growing
+    the corpus only APPENDS candidates after the old ones in hash
+    order (a kept doc can be displaced only by new docs hashing ahead
+    of it, never by re-shuffling).
+
+    Scale shape — the per-group running total is a TWO-LEVEL prefix
+    sum, never one window partition per group (a hot domain with 10⁹
+    docs would otherwise sort in a single task): (1) docs bucket by
+    hash RANGE (bucket = h·n_buckets/1e6, monotone in h so bucket
+    order IS hash order), (2) per-(group, bucket) token totals + a
+    window over that tiny table yields exclusive bucket offsets,
+    broadcast back, (3) an in-bucket cumsum completes the global
+    per-group prefix. Exact single-window SQL oracle.
+
+    Returns kept rows: (group, doc_id, n_tokens, cum_tokens) where
+    cum_tokens ≤ budget is the through-this-doc running total.
+    """
+    from eynollah_spark.operators.text_analysis import token_count
+
+    h = F.pmod(
+        _h64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        F.lit(SAMPLE_MOD),
+    )
+    base = docs.select(
+        group_col,
+        id_col,
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        h.alias("_h"),
+    ).withColumn(
+        "_b", F.floor(F.col("_h") * n_buckets / SAMPLE_MOD).cast("bigint")
+    )
+    bucket_tot = base.groupBy(group_col, "_b").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        group_col,
+        "_b",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_off"),
+    )
+    wi = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("_ci", F.sum("n_tokens").over(wi))
+        .join(F.broadcast(offsets), [group_col, "_b"])
+        .withColumn("cum_tokens", F.col("_ci") + F.col("_off"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            group_col,
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
 def _hashed_features(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int
 ) -> DataFrame:

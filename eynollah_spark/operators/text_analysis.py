@@ -120,6 +120,64 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local algorithm): hash every k-token
+    shingle, slide a window of ``w`` consecutive shingle hashes, keep
+    each window's minimum; the distinct kept hashes are the document's
+    fingerprint set. Guarantee: two documents sharing any run of at
+    least ``w + k - 1`` tokens share at least one fingerprint, while
+    only ~2/(w+1) of all shingle hashes are retained — the standard
+    sub-sampled plagiarism/near-dup sketch between full-shingle
+    Jaccard (everything) and single-min ``fingerprint`` (one value).
+
+    All-codegen: the shingle hashes and window minima are array
+    expressions on the scan side — no shuffle, no UDF. Per-doc output:
+    (n_grams, n_fingerprints, min_fp, fp_xor) where fp_xor is the
+    order-independent XOR digest of the distinct fingerprint set (an
+    engine-portable set equality witness). Reference analog: the
+    fingerprinting role eynollah's per-region hashes play for resume
+    bookkeeping (utils/__init__.py rolling ids), generalised to the
+    published winnowing scheme.
+    """
+    from eynollah_spark.operators.dedup import _h64
+
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: _h64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    # each stage lands in its own projection: the hash array and the
+    # fingerprint set are referenced several times downstream, and an
+    # inlined expression would be recomputed per reference (the window
+    # pass would rebuild the whole hash array per window element —
+    # O(n^2) md5 calls; CollapseProject keeps multi-referenced
+    # non-cheap expressions bound to one evaluation)
+    hs = df.select("doc_id", hashes.alias("_hs"))
+    m = F.size(F.col("_hs"))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
+    )
+    fp = hs.select(
+        "doc_id",
+        m.cast("int").alias("n_grams"),
+        F.array_distinct(wins).alias("_fps"),
+    )
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        F.size(F.col("_fps")).cast("int").alias("n_fingerprints"),
+        F.array_min(F.col("_fps")).alias("min_fp"),
+        F.aggregate(
+            F.col("_fps"), F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_xor"),
+    )
+
+
 def otsu_threshold(
     df: DataFrame, value_col: str, bucket_width: int = 1 << 16
 ) -> DataFrame:

@@ -361,3 +361,26 @@ def test_duplicate_ngram_scrub_removes_copied_passage(spark):
     assert got[1].n_removed == 0 and got[1].text == passage + " " + passage
     assert got[2].n_removed == 10 and got[2].text == own
     assert got[3].n_removed == 0 and got[3].text == uniq
+
+
+def test_cdc_chunk_stats_shift_invariance(spark):
+    """Content-defined chunks catch a passage duplicated at DIFFERENT
+    offsets (the case fixed-frame chunking misses), and a doc with no
+    shared content reports zero dup chunks."""
+    from eynollah_spark.operators.dedup import cdc_chunk_stats
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, f"{passage} some unique trailer words here"),
+            (2, f"a completely different and much longer prefix before {passage}"),
+            (3, "entirely disjoint vocabulary in this one document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in cdc_chunk_stats(df, boundary_mod=4).collect()}
+    assert got[1].n_dup_chunks > 0, "shared passage at offset 0 must be caught"
+    assert got[2].n_dup_chunks > 0, "same passage at a shifted offset must be caught"
+    assert got[3].n_dup_chunks == 0
+    assert 0 < got[1].dup_token_frac <= 1.0
+    assert got[3].dup_token_frac == 0.0

@@ -284,3 +284,53 @@ def test_assign_splits_rejects_empty_weights(spark):
         assign_splits(docs, {})
     # None still selects the documented defaults
     assert assign_splits(docs, None).columns[-1] == "split"
+
+
+def test_token_budget_sample_prefix_and_bucket_invariance(spark, sf_dir):
+    """The kept set is the maximal hash-ordered prefix within budget,
+    and the two-level bucketed prefix sum is EXACTLY the single-window
+    semantics (n_buckets=1 collapses to one window; any bucket count
+    must give byte-identical output)."""
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.dedup import _h64
+    from eynollah_spark.operators.sampling import SAMPLE_MOD, token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    budget = 300
+    a = token_budget_sample(docs, budget=budget, n_buckets=1024)
+    b = token_budget_sample(docs, budget=budget, n_buckets=1)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a, "bucket count must not change the sample"
+
+    # budget respected, and maximality: the first unkept doc in hash
+    # order per source would overflow the budget
+    kept = {(r[0], r[1]): r for r in rows_a}
+    h = F.pmod(
+        _h64(F.concat(F.col("doc_id").cast("string"), F.lit(":tb0"))),
+        F.lit(SAMPLE_MOD),
+    )
+    from eynollah_spark.operators.text_analysis import token_count
+
+    ordered = (
+        docs.select(
+            "source",
+            "doc_id",
+            token_count(F.col("text")).alias("nt"),
+            h.alias("hk"),
+        )
+        .orderBy("source", "hk", "doc_id")
+        .collect()
+    )
+    cum: dict[str, int] = {}
+    for r in ordered:
+        c = cum.get(r.source, 0) + r.nt
+        cum[r.source] = c
+        if c <= budget:
+            k = kept.get((r.source, r.doc_id))
+            assert k is not None and k[3] == c
+        else:
+            assert (r.source, r.doc_id) not in kept
