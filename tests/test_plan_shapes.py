@@ -206,3 +206,36 @@ def test_pq_grouped_chain_bounded_shuffles(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Window") <= 5
+
+
+def test_winnowing_zero_exchange(spark):
+    """Winnowing fingerprints are pure scan-side array expressions —
+    no shuffle, no UDF, column-pruned scan."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["winnowing_fingerprints"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_offsets_broadcast(spark):
+    """token_budget_sample joins the tiny per-(group,bucket) offset
+    table back by BROADCAST — the corpus never shuffles for the join —
+    and no window runs over an unbucketed whole-group partition."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["token_budget_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # in-bucket cumsum window is keyed (group, bucket), not group alone
+    assert "windowspecdefinition(source" in plan and "_b" in plan, plan
+
+
+def test_cdc_dedup_single_chunk_exchange(spark):
+    """cdc_chunk_stats: chunking is scan-side codegen; the only wide
+    stages are the chunk-hash aggregate/join and the final doc fold."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["cdc_dedup"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no window operator at all — aggregates only
+    assert "Window" not in plan, plan
