@@ -525,6 +525,67 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus-appropriate stop-word probes (the synthetic documents corpus
+# has a spark-themed vocabulary; the operator's default is the
+# published Gopher list) — keep and the oracle's list in lockstep
+GOPHER_QUERY_STOPS = ("the", "a", "table", "row", "value", "key", "join", "scan")
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) with the
+    published thresholds; map-side only."""
+    from eynollah_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), stop_words=GOPHER_QUERY_STOPS)
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct
+    >=5-word line gate, lorem-ipsum/brace/sentence-count doc gate,
+    cleaned text returned for auditability. The documents corpus has
+    no newlines or punctuation, so the input is the deterministic
+    DECORATED line view (the planted-structure pattern of the _simple
+    family): token-wrapped lines where every line_idx%3<2 line gains a
+    terminal '.', doc_id%97 docs plant a '{' on line 1, doc_id%101
+    docs plant a lorem-ipsum line 0 — every rule fires on a known
+    subset, mirrored exactly in the oracle CTE."""
+    from eynollah_spark.operators import docpage
+    from eynollah_spark.operators.text_analysis import c4_rules
+
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    deco = lines.select(
+        "doc_id",
+        "line_idx",
+        F.when(
+            (F.col("doc_id") % 101 == 0) & (F.col("line_idx") == 0),
+            F.lit("lorem ipsum dolor sit amet consectetur."),
+        )
+        .otherwise(
+            F.concat(
+                F.col("line"),
+                F.when(F.col("line_idx") % 3 < 2, F.lit(".")).otherwise(
+                    F.lit("")
+                ),
+                F.when(
+                    (F.col("doc_id") % 97 == 0) & (F.col("line_idx") == 1),
+                    F.lit(" {"),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("line"),
+    )
+    docs = deco.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return c4_rules(docs)
+
+
 CDC_MOD = 8  # expected content-defined chunk length in tokens
 
 
@@ -1706,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing,
         "token_budget_sample": _q_token_budget_sample,
         "cdc_dedup": _q_cdc_dedup,
+        "gopher_rules": _q_gopher_rules,
+        "c4_rules": _q_c4_rules,
         # dedup family (driver-unchecked in r03)
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
@@ -2406,6 +2469,96 @@ SELECT ch.doc_id,
          AS dup_token_frac
 FROM ch LEFT JOIN sh ON ch.h = sh.h
 GROUP BY ch.doc_id
+"""
+
+    gopher_stops = GOPHER_QUERY_STOPS
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(lt, '{s}') THEN 1 ELSE 0 END)"
+        for s in gopher_stops
+    )
+    sql["gopher_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         len(lines) AS nl,
+         length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+         (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0 AS n_ell,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS ell_end,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         list_transform(toks, x -> lower(x)) AS lt,
+         CASE WHEN len(toks) > 0
+              THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_wl
+  FROM t
+),
+s AS (
+  SELECT *, ({stop_sum}) AS stop_hits,
+         CASE WHEN nw > 0 THEN (n_hash + n_ell) / nw ELSE 0.0 END AS sym_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(nw AS INT) AS n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       round(bullet * 1.0 / nl, 6) AS bullet_frac,
+       round(ell_end * 1.0 / nl, 6) AS ellipsis_frac,
+       round(CASE WHEN nw > 0 THEN alpha * 1.0 / nw ELSE 0.0 END, 6) AS alpha_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       (nw >= 50 AND nw <= 100000 AND mean_wl >= 3 AND mean_wl <= 10
+        AND sym_ratio < 0.1 AND bullet * 1.0 / nl < 0.9
+        AND ell_end * 1.0 / nl < 0.3 AND nw > 0
+        AND alpha * 1.0 / nw > 0.8 AND stop_hits >= 2) AS gopher_keep
+FROM s
+"""
+
+    sql["c4_rules"] = f"""
+WITH {_LINES_CTE.split('classified AS')[0].rstrip().rstrip(',')},
+deco AS (
+  SELECT doc_id, line_idx,
+         CASE WHEN doc_id % 101 = 0 AND line_idx = 0
+              THEN 'lorem ipsum dolor sit amet consectetur.'
+              ELSE line
+                   || (CASE WHEN line_idx % 3 < 2 THEN '.' ELSE '' END)
+                   || (CASE WHEN doc_id % 97 = 0 AND line_idx = 1
+                            THEN ' {{' ELSE '' END)
+         END AS line
+  FROM lines
+),
+docs2 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM deco GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, text, str_split(text, chr(10)) AS lns,
+         list_filter(
+           str_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"]\\s*$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                    x -> length(x) > 0)) >= 5
+         ) AS kept,
+         CAST(length(text) - length(regexp_replace(regexp_replace(
+              regexp_replace(text, '\\.', '', 'g'), '!', '', 'g'),
+              '\\?', '', 'g')) AS INT) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM docs2
+)
+SELECT doc_id,
+       CAST(len(lns) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       n_sentences, has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND n_sentences >= 3
+        AND len(kept) > 0) AS c4_keep,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM t
 """
 
     pc_chars = ", ".join(

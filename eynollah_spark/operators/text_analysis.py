@@ -178,6 +178,130 @@ def winnowing_fingerprints(
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    stop_words: tuple[str, ...] = GOPHER_STOPS,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, A1.1) as a
+    single map-side pass — the published-threshold variant of
+    ``quality_features``: word-count bounds, mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipsis) < 0.1, < 90% of
+    lines bullet-led, < 30% of lines ellipsis-ended, >= 80% of words
+    containing an alphabetic character, and >= 2 distinct hits from
+    the stop-word probe list. Pure Catalyst (string/array expressions
+    only), zero shuffle, engine-portable arithmetic (counts and exact
+    ratios; rounding only at the output edge).
+
+    Returns per doc: the rule inputs plus the combined ``gopher_keep``.
+    """
+    t = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0
+    )
+    nw = F.size(toks)
+    lines = F.split(t, "\n")
+    nl = F.size(lines)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.when(
+            F.array_contains(F.transform(toks, F.lower), s), F.lit(1)
+        ).otherwise(F.lit(0))
+        for s in stop_words
+    )
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+        / nw,
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(nw > 0, (n_hash + n_ell) / nw).otherwise(F.lit(0.0))
+    out = df.select(
+        "doc_id",
+        nw.cast("int").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet / nl, 6).alias("bullet_frac"),
+        F.round(ell_end / nl, 6).alias("ellipsis_frac"),
+        F.round(
+            F.when(nw > 0, alpha / nw).otherwise(F.lit(0.0)), 6
+        ).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        (
+            (nw >= 50)
+            & (nw <= 100000)
+            & (mean_wl >= 3)
+            & (mean_wl <= 10)
+            & (sym_ratio < 0.1)
+            & (bullet / nl < 0.9)
+            & (ell_end / nl < 0.3)
+            & (nw > 0)
+            & (alpha / nw > 0.8)
+            & (stop_hits >= 2)
+        ).alias("gopher_keep"),
+    )
+    return out
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as a map-side
+    pass: keep only lines that end in terminal punctuation AND have
+    >= 5 words; drop whole docs containing "lorem ipsum" or a curly
+    brace, or with < 3 sentences. Returns the cleaned text alongside
+    the decision inputs so the gate is auditable. Pure Catalyst array
+    expressions, zero shuffle.
+
+    Returns per doc: (doc_id, n_lines, n_kept_lines, n_sentences,
+    has_lorem, has_brace, c4_keep, clean_text).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda x: F.length(x) > 0))
+            >= 5
+        ),
+    )
+    n_sent = (
+        F.length(t)
+        - F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(t, r"\.", ""), "!", ""),
+                r"\?",
+                "",
+            )
+        )
+    ).cast("int")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            ~has_lorem & ~has_brace & (n_sent >= 3) & (F.size(kept) > 0)
+        ).alias("c4_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def otsu_threshold(
     df: DataFrame, value_col: str, bucket_width: int = 1 << 16
 ) -> DataFrame:

@@ -450,3 +450,60 @@ def test_winnowing_shared_run_guarantee(spark):
         assert out[d].fp_xor == x
     # sub-sampling: fewer fingerprints than grams
     assert all(out[d].n_fingerprints < out[d].n_grams for d in sets)
+
+
+def test_gopher_rules_each_gate(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) fires on a doc built to
+    violate exactly that rule; a clean doc passes."""
+    from eynollah_spark.operators.text_analysis import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor"] * 6
+    )  # 60 words, mean len ~4, stopword hits
+    short = "the dog with a bone"  # < 50 words
+    symbols = " ".join(["word"] * 50) + " " + " ".join(["###"] * 10)
+    bullets = "\n".join(["- the item with that thing"] * 10)
+    nonalpha = " ".join(["123"] * 60) + " the with"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets), (5, nonalpha)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].gopher_keep
+    assert not got[2].gopher_keep and got[2].n_words < 50
+    assert not got[3].gopher_keep and got[3].symbol_ratio >= 0.1
+    assert not got[4].gopher_keep and got[4].bullet_frac >= 0.9
+    assert not got[5].gopher_keep and got[5].alpha_frac <= 0.8
+    # stop-word probe override
+    assert (
+        gopher_rules(df, stop_words=("zebra", "xylophone"))
+        .filter("stop_hits > 0")
+        .count()
+        == 0
+    )
+
+
+def test_c4_rules_line_and_doc_gates(spark):
+    """C4 (Raffel et al. 2020 §2.2): line gate keeps only >=5-word
+    terminal-punct lines; doc gates drop lorem-ipsum/brace/<3-sentence
+    docs."""
+    from eynollah_spark.operators.text_analysis import c4_rules
+
+    keep_line = "this line has five good words."
+    drop_short = "too short."
+    drop_nopunct = "this line has no terminal punctuation at all"
+    df = spark.createDataFrame(
+        [
+            (1, f"{keep_line}\n{drop_short}\n{drop_nopunct}\n{keep_line}\nx. y. z."),
+            (2, f"{keep_line}\nlorem ipsum dolor.\n{keep_line}\nmore. and. more."),
+            (3, "no sentences here at all just words"),
+            (4, f"{keep_line}\ncode {{ block }}\n{keep_line}\nt. u. v."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in c4_rules(df).collect()}
+    assert got[1].c4_keep and got[1].n_kept_lines == 2
+    assert got[1].clean_text == f"{keep_line}\n{keep_line}"
+    assert not got[2].c4_keep and got[2].has_lorem
+    assert not got[3].c4_keep and got[3].n_sentences == 0
+    assert not got[4].c4_keep and got[4].has_brace
