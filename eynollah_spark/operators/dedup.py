@@ -294,6 +294,7 @@ def _verify_jaccard(
     text_col: str = "text",
     k: int = 3,
     docs_b: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard verification of LSH candidate pairs over the hb domain.
 
@@ -314,13 +315,23 @@ def _verify_jaccard(
     asymmetric callers (incremental_dedup) pass per-side corpora so a
     doc_id that appears on BOTH sides (a recrawled page keeping its
     stable id) never merges two versions' shingle sets under one id.
+
+    ``shingles_b``: optional PRECOMPUTED (doc_id, hb) distinct shingle
+    hashes for the doc_b side (a persisted index snapshot). Equivalent
+    to deriving them from ``docs_b`` — the id semi-join commutes with
+    the per-doc distinct — but skips re-shingling the index corpus.
     """
-    if docs_b is None:
-        docs_b = docs
     ids_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
     ids_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     sh_a = shingle_hashes(docs.join(ids_a, "doc_id"), text_col, k)
-    sh_b = shingle_hashes(docs_b.join(ids_b, "doc_id"), text_col, k)
+    if shingles_b is not None:
+        sh_b = shingles_b.join(ids_b, "doc_id")
+    else:
+        sh_b = shingle_hashes(
+            (docs if docs_b is None else docs_b).join(ids_b, "doc_id"),
+            text_col,
+            k,
+        )
     inter = (
         sh_a.alias("a")
         .join(cand, F.col("a.doc_id") == F.col("doc_a"))
@@ -433,13 +444,51 @@ def incremental_dedup(
     new_docs = new_docs.select("doc_id", text_col)
     index_docs = index_docs.select("doc_id", text_col)
     rows = num_hashes // bands
+    return _incremental_probe(
+        new_docs,
+        index_docs.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+        _cap_bands(
+            _banded(
+                minhash_signatures(index_docs, text_col, k, num_hashes),
+                bands,
+                rows,
+            ),
+            max_band_freq,
+        ),
+        None,
+        index_docs,
+        text_col,
+        k,
+        num_hashes,
+        bands,
+        threshold,
+        max_band_freq,
+    )
+
+
+def _incremental_probe(
+    new_docs: DataFrame,
+    idx_exact: DataFrame,
+    idx_bands: DataFrame,
+    idx_shingles: DataFrame | None,
+    index_docs: DataFrame | None,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_band_freq: int | None,
+) -> DataFrame:
+    """Shared probe plan for incremental dedup: the index side arrives
+    either as frames DERIVED in-plan from the index corpus
+    (``incremental_dedup``) or as frames READ from a persisted snapshot
+    (``incremental_dedup_indexed``) — by construction the persisted
+    form is a checkpoint of this exact plan, not a different
+    algorithm."""
+    rows = num_hashes // bands
     exact = (
         new_docs.select("doc_id", F.md5(F.col(text_col)).alias("_h"))
-        .join(
-            index_docs.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
-            "_h",
-            "left_semi",
-        )
+        .join(idx_exact, "_h", "left_semi")
         .select("doc_id")
         .withColumn("dup_exact", F.lit(True))
     )
@@ -447,14 +496,10 @@ def incremental_dedup(
         _banded(minhash_signatures(new_docs, text_col, k, num_hashes), bands, rows),
         max_band_freq,
     )
-    bi = _cap_bands(
-        _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows),
-        max_band_freq,
-    )
     cand = (
         bn.alias("a")
         .join(
-            bi.alias("b"),
+            idx_bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bsig") == F.col("b.bsig")),
         )
@@ -474,6 +519,7 @@ def incremental_dedup(
             text_col,
             k,
             docs_b=index_docs,
+            shingles_b=idx_shingles,
         )
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -489,6 +535,89 @@ def incremental_dedup(
             F.coalesce("dup_near", F.lit(False)).alias("dup_near"),
             (F.col("dup_exact").isNull() & F.col("dup_near").isNull()).alias("kept"),
         )
+    )
+
+
+def write_dedup_index(
+    index_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_band_freq: int | None = 1000,
+) -> None:
+    """Persist the incremental-dedup index snapshot: exactly the three
+    frames ``incremental_dedup`` derives from the index corpus each
+    run, so a probe against the snapshot is a CHECKPOINT of the same
+    plan. Between crawl snapshots a production pipeline appends the
+    new survivors here instead of re-shingling the whole index.
+
+    Layout (parquet directories under ``path``):
+      exact/    — distinct md5 text hashes (_h)
+      bands/    — hot-bucket-capped banded MinHash signatures
+                  (doc_id, band, bsig, n_sh)
+      shingles/ — distinct (doc_id, hb) 60-bit shingle hashes, the
+                  exact-Jaccard verification universe
+      meta/     — one row of the shingle/signature knobs; probes
+                  validate against it (a probe with different knobs
+                  would silently compare incompatible sketches)
+    """
+    index_docs = index_docs.select("doc_id", text_col)
+    rows = num_hashes // bands
+    spark = index_docs.sparkSession
+    index_docs.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/exact")
+    _cap_bands(
+        _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows),
+        max_band_freq,
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    shingle_hashes(index_docs, text_col, k).write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+    spark.createDataFrame(
+        [(k, num_hashes, bands, -1 if max_band_freq is None else max_band_freq)],
+        "k int, num_hashes int, bands int, max_band_freq int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def incremental_dedup_indexed(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_band_freq: int | None = 1000,
+) -> DataFrame:
+    """``incremental_dedup`` against a PERSISTED index snapshot
+    (``write_dedup_index``): identical output to recomputing from the
+    index corpus — proven by test — but the index side is three
+    parquet scans instead of a full re-shingle. Raises if the probe
+    knobs disagree with the snapshot's recorded knobs."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    want = (k, num_hashes, bands, -1 if max_band_freq is None else max_band_freq)
+    have = (meta.k, meta.num_hashes, meta.bands, meta.max_band_freq)
+    if want != have:
+        raise ValueError(
+            f"dedup index at {index_path} was built with "
+            f"(k, num_hashes, bands, max_band_freq)={have}, probe uses {want}"
+        )
+    return _incremental_probe(
+        new_docs.select("doc_id", text_col),
+        spark.read.parquet(f"{index_path}/exact"),
+        spark.read.parquet(f"{index_path}/bands"),
+        spark.read.parquet(f"{index_path}/shingles"),
+        None,
+        text_col,
+        k,
+        num_hashes,
+        bands,
+        threshold,
+        max_band_freq,
     )
 
 

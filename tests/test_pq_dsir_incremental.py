@@ -197,3 +197,38 @@ def test_bloom_index_is_bounded_and_broadcast(spark):
     assert bloom_index(idx, m_bits=1 << 8).count() <= (1 << 8) // 32
     plan = _plan(bloom_probe(d.filter(F.col("doc_id") < 100), idx, m_bits=1 << 10))
     assert "BroadcastHashJoin [word" in plan, plan
+
+
+def test_incremental_dedup_indexed_matches_recompute(spark, sf_dir, tmp_path):
+    """Probing a persisted index snapshot (write_dedup_index) returns
+    byte-identical results to recomputing the index frames in-plan —
+    the snapshot is a checkpoint of the same plan. Knob mismatch
+    raises instead of silently comparing incompatible sketches."""
+    import pytest
+
+    from eynollah_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1").unionByName(
+        # recrawl shape: some index docs reappear as new with new ids
+        index.limit(20).selectExpr("doc_id + 1000000 AS doc_id", "text")
+    )
+    path = str(tmp_path / "dedup_index")
+    write_dedup_index(index, path)
+
+    live = sorted(map(tuple, incremental_dedup(new, index).collect()))
+    snap = sorted(map(tuple, incremental_dedup_indexed(new, path).collect()))
+    assert live == snap and snap
+    # the planted recrawls must be flagged as exact dups of the index
+    flagged = {r[0] for r in snap if r[1]}
+    assert all(d >= 1000000 for d in flagged) and len(flagged) == 20
+
+    with pytest.raises(ValueError, match="built with"):
+        incremental_dedup_indexed(new, path, bands=8)
