@@ -971,6 +971,30 @@ def _q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-corpus analytics over the input_hint table shape:
+    per-conversation turn counts, role mix, char mass, mean turn token
+    count — the profiling pass a pipeline runs before curation. One
+    conv_id groupBy (the pipeline's own exchange key)."""
+    from eynollah_spark.operators.text_analysis import token_count
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("int")
+        .alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("int")
+        .alias("n_assistant"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 6).alias(
+            "mean_turn_tokens"
+        ),
+        F.max(F.length("text")).cast("int").alias("max_turn_chars"),
+    )
+
+
 def _q_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_turn_metadata(
         transcripts_from_documents(spark, sf_dir), density_min=PROBE_DENSITY_MIN
@@ -1763,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_diags": _q_page_diags,
         # S2 metadata probe (check_dpi analog)
         "probe_metadata": _q_probe_metadata,
+        "conv_stats": _q_conv_stats,
         # round-4 additions (driver-unchecked yet — keep early in order)
         "winnowing_fingerprints": _q_winnowing,
         "token_budget_sample": _q_token_budget_sample,
@@ -4012,6 +4037,26 @@ p AS (
 )
 SELECT conv_id, turn_idx, prompt, text AS response, n_context_turns
 FROM p WHERE role = 'assistant'
+"""
+
+    sql["conv_stats"] = f"""
+WITH {_LINES_CTE},
+turns AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // {LINES_PER_TURN} AS INT) AS turn_idx,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text
+  FROM lines GROUP BY doc_id, line_idx // {LINES_PER_TURN}
+)
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_user,
+       CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS n_assistant,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6)
+         AS mean_turn_tokens,
+       CAST(max(length(text)) AS INT) AS max_turn_chars
+FROM turns GROUP BY conv_id
 """
 
     sql["probe_metadata"] = f"""
