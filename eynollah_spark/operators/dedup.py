@@ -1208,6 +1208,63 @@ def turn_dedup(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Emit the content-defined chunks themselves: one row per chunk,
+    (doc_id, chunk_idx, chunk_text, n_words). Boundary rule: a chunk
+    ends after token i whenever h64(token_i) % boundary_mod == 0 (the
+    stateless gear form — see ``cdc_chunk_stats`` for the dedup
+    summary built on top). The chunks PARTITION the token sequence:
+    joining a doc's chunks in chunk_idx order with single spaces
+    reconstructs the whitespace-normalized text exactly
+    (property-tested), so chunk-level pipelines (chunk dedup, chunk
+    embedding, partial re-crawl diffing) lose nothing. Scan-side array
+    codegen + one posexplode; no shuffle, no UDF."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (_h64(F.element_at(toks, i)) % boundary_mod) == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    segs = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda z: z.getField("s") <= z.getField("e"),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                segs,
+                lambda z: F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            toks,
+                            z.getField("s"),
+                            z.getField("e") - z.getField("s") + 1,
+                        ),
+                    ).alias("chunk_text"),
+                    (z.getField("e") - z.getField("s") + 1)
+                    .cast("int")
+                    .alias("n_words"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_words").alias("n_words"),
+    )
+
+
 def cdc_chunk_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -1237,43 +1294,11 @@ def cdc_chunk_stats(
     dup_token_frac) where dup_token_frac is the fraction of the doc's
     tokens inside chunks that also appear in >= min_docs docs.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    bpos = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (_h64(F.element_at(toks, i)) % boundary_mod) == 0,
-    )
-    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
-    ends = F.concat(bpos, F.array(n))
-    segs = F.filter(
-        F.zip_with(
-            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
-        ),
-        lambda z: z.getField("s") <= z.getField("e"),
-    )
-    chunks = docs.select(
+    chunks = cdc_chunks(docs, text_col, boundary_mod).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                segs,
-                lambda z: F.struct(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                toks,
-                                z.getField("s"),
-                                z.getField("e") - z.getField("s") + 1,
-                            ),
-                        )
-                    ).alias("h"),
-                    (z.getField("e") - z.getField("s") + 1)
-                    .cast("bigint")
-                    .alias("nw"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.nw").alias("nw"))
+        F.md5(F.col("chunk_text")).alias("h"),
+        F.col("n_words").cast("bigint").alias("nw"),
+    )
     shared = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("_nd"))

@@ -384,3 +384,49 @@ def test_cdc_chunk_stats_shift_invariance(spark):
     assert got[3].n_dup_chunks == 0
     assert 0 < got[1].dup_token_frac <= 1.0
     assert got[3].dup_token_frac == 0.0
+
+
+def test_cdc_chunks_partition_property(spark, sf_dir):
+    """CDC chunks partition the token sequence exactly: joining a
+    doc's chunks in chunk_idx order with single spaces reconstructs
+    the whitespace-normalized text, and n_words sums to the token
+    count. Stats path agrees with the emission path."""
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.dedup import cdc_chunk_stats, cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ch = cdc_chunks(docs)
+    rebuilt = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("n_words").alias("nw"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm"),
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+            ),
+            "doc_id",
+        )
+    )
+    bad = rebuilt.filter(
+        (F.col("rebuilt") != F.col("norm")) | (F.col("nw") != F.col("n_toks"))
+    ).count()
+    assert bad == 0
+    stats = {r.doc_id: r.n_chunks for r in cdc_chunk_stats(docs).collect()}
+    emits = {r[0]: r[1] for r in rebuilt.select("doc_id", "n_chunks").collect()}
+    assert stats == emits
