@@ -1432,10 +1432,13 @@ def _emit_page(
                     for k, i in enumerate(lids):
                         sh = shifts[k] if shifts is not None else 0
                         piece = raw[i][a + sh : b + sh]
-                        s = piece.strip()
-                        if not s:
+                        # single left scan + right scan (strip() +
+                        # lstrip() would walk the left edge twice)
+                        ls = piece.lstrip()
+                        if not ls:
                             continue
-                        pl = len(piece) - len(piece.lstrip())
+                        s = ls.rstrip()
+                        pl = len(piece) - len(ls)
                         cs = int(lstart[i]) + a + sh + pl
                         col_spans.append((cs, cs + len(s), s, a + pl, a + pl + len(s)))
                     if col_spans:
