@@ -160,9 +160,15 @@ def token_budget_sample(
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # offsets is n_groups x n_buckets rows — tiny for a source mix,
+    # UNBOUNDED for a per-domain budget over millions of domains, so
+    # no broadcast hint: AQE picks broadcast-vs-shuffle from the
+    # measured size (the same delegation ngram_jaccard_pairs uses for
+    # its sizes join); the shuffle alternative is keyed on the same
+    # (group, bucket) the cumsum window just partitioned by
     return (
         base.withColumn("_ci", F.sum("n_tokens").over(wi))
-        .join(F.broadcast(offsets), [group_col, "_b"])
+        .join(offsets, [group_col, "_b"])
         .withColumn("cum_tokens", F.col("_ci") + F.col("_off"))
         .filter(F.col("cum_tokens") <= budget)
         .select(

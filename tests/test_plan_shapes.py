@@ -218,15 +218,19 @@ def test_winnowing_zero_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_token_budget_offsets_broadcast(spark):
-    """token_budget_sample joins the tiny per-(group,bucket) offset
-    table back by BROADCAST — the corpus never shuffles for the join —
-    and no window runs over an unbucketed whole-group partition."""
+def test_token_budget_offsets_join_adaptive(spark):
+    """token_budget_sample's offsets join carries NO broadcast hint
+    (n_groups x n_buckets is unbounded for a per-domain budget — AQE
+    decides, the jaccard-sizes delegation); at test scale AQE's final
+    plan broadcasts it. The in-bucket cumsum window is keyed
+    (group, bucket), never group alone."""
     import __spark_entry__ as em
 
-    plan = _plan(em.queries()["token_budget_sample"](spark, SF))
+    df = em.queries()["token_budget_sample"](spark, SF)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = _plan(df)
+    assert "ResolvedHint" not in plan
     assert "BroadcastHashJoin" in plan, plan
-    # in-bucket cumsum window is keyed (group, bucket), not group alone
     assert "windowspecdefinition(source" in plan and "_b" in plan, plan
 
 
