@@ -158,10 +158,21 @@ def winnowing_fingerprints(
     # non-cheap expressions bound to one evaluation)
     hs = df.select("doc_id", hashes.alias("_hs"))
     m = F.size(F.col("_hs"))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
-        lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
-    )
+    # window minima as a w-fold element-wise least over shifted slices
+    # (the dedup zip-slice pattern): the transform(j ->
+    # array_min(slice)) form allocates a fresh w-slice per window
+    # element inside an interpreted lambda — O(m*w) allocations; this
+    # form is w-1 cheap least() folds over full slices. Degenerate
+    # m < w stays correct: short slices zip-pad with null and least()
+    # ignores nulls, leaving min of all m hashes in the one window.
+    nwin = F.greatest(m - w, F.lit(0)) + 1
+    wins = F.slice(F.col("_hs"), 1, nwin)
+    for j in range(1, w):
+        wins = F.zip_with(
+            wins,
+            F.slice(F.col("_hs"), 1 + j, nwin),
+            lambda x, y: F.least(x, y),
+        )
     fp = hs.select(
         "doc_id",
         m.cast("int").alias("n_grams"),
