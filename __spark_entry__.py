@@ -531,6 +531,15 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUERY_STOPS = ("the", "a", "table", "row", "value", "key", "join", "scan")
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity-bucket sampling (Wenzek et
+    al. 2020 §4.3) over the corpus bigram LM, deterministic
+    tercile + md5 keep rule."""
+    from eynollah_spark.operators.sampling import ccnet_bucket_sample
+
+    return ccnet_bucket_sample(_docs(spark, sf_dir))
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 A1.1) with the
     published thresholds; map-side only."""
@@ -1794,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": _q_cdc_dedup,
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
+        "ccnet_buckets": _q_ccnet_buckets,
         # dedup family (driver-unchecked in r03)
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
@@ -2494,6 +2504,27 @@ SELECT ch.doc_id,
          AS dup_token_frac
 FROM ch LEFT JOIN sh ON ch.h = sh.h
 GROUP BY ch.doc_id
+"""
+
+    ccnet_h = _h64sql("(CAST(doc_id AS VARCHAR) || ':ccnet')")
+    sql["ccnet_buckets"] = f"""
+WITH lmq AS ({sql["lm_quality"]}),
+sc AS (SELECT doc_id, xent_bits FROM lmq WHERE n_bigrams > 0),
+th AS (SELECT quantile_cont(xent_bits, 1.0/3) AS t1,
+              quantile_cont(xent_bits, 2.0/3) AS t2 FROM sc),
+b AS (
+  SELECT doc_id, xent_bits,
+         CASE WHEN xent_bits <= t1 THEN 'head'
+              WHEN xent_bits <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM sc CROSS JOIN th
+)
+SELECT doc_id, xent_bits, bucket,
+       {ccnet_h} % 1000000 <
+         CASE bucket WHEN 'head' THEN 1000000
+                     WHEN 'middle' THEN 500000
+                     ELSE 100000 END AS kept
+FROM b
 """
 
     gopher_stops = GOPHER_QUERY_STOPS

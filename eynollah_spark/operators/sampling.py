@@ -180,6 +180,73 @@ def token_budget_sample(
     )
 
 
+CCNET_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def ccnet_bucket_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    rates: dict[str, float] | None = None,
+    seed: str = "ccnet",
+) -> DataFrame:
+    """CCNet's perplexity-bucket sampling (Wenzek et al. 2020 §4.3):
+    score every doc with the corpus bigram LM (``bigram_lm_scores``,
+    the KenLM stand-in), split the scored corpus into HEAD / MIDDLE /
+    TAIL terciles of cross-entropy (head = most fluent), and keep each
+    bucket at its own rate — the standard recipe that over-samples
+    fluent text without discarding the tail outright.
+
+    Deterministic end to end: terciles are exact sort-based
+    percentiles (the engine-portable interpolation length_percentiles
+    already hash-proves), and the keep decision is the md5(doc_id)
+    rule of ``stratified_sample`` — no RNG, identical on any cluster
+    layout. Docs with no bigrams (n_bigrams = 0) have no score and are
+    excluded, matching CCNet's behavior for empty pages.
+
+    Scale shape: the LM scoring is the bigram operator's (hash-keyed
+    count shuffles); the tercile aggregate is ONE scalar row broadcast
+    back; bucket assignment + sampling are map-side.
+
+    Returns (doc_id, xent_bits, bucket, kept).
+    """
+    from eynollah_spark.operators.text_analysis import bigram_lm_scores
+
+    if rates is None:
+        rates = CCNET_RATES
+    scored = bigram_lm_scores(docs, text_col).filter(
+        F.col("n_bigrams") > 0
+    )
+    th = scored.agg(
+        F.percentile("xent_bits", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("xent_bits", F.lit(2.0 / 3)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("xent_bits") <= F.col("t1"), F.lit("head"))
+        .when(F.col("xent_bits") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    rate = F.lit(int(round(rates["tail"] * SAMPLE_MOD)))
+    for name in ("middle", "head"):
+        rate = F.when(
+            F.col("bucket") == name,
+            F.lit(int(round(rates[name] * SAMPLE_MOD))),
+        ).otherwise(rate)
+    h = F.pmod(
+        _h64(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))),
+        F.lit(SAMPLE_MOD),
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "xent_bits",
+            "bucket",
+            (h < rate).alias("kept"),
+        )
+    )
+
+
 def _hashed_features(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int
 ) -> DataFrame:

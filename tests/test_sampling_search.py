@@ -334,3 +334,32 @@ def test_token_budget_sample_prefix_and_bucket_invariance(spark, sf_dir):
             assert k is not None and k[3] == c
         else:
             assert (r.source, r.doc_id) not in kept
+
+
+def test_ccnet_bucket_sample_terciles_and_rates(spark, sf_dir):
+    """CCNet buckets are xent terciles (head = most fluent, ~equal
+    thirds), head keeps everything, tail keeps ~rate, and the keep
+    decision is deterministic across reruns."""
+    from eynollah_spark.operators.sampling import ccnet_bucket_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = ccnet_bucket_sample(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    n = len(out)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    for b, rows in by_bucket.items():
+        assert abs(len(rows) - n / 3) <= n * 0.1 + 2, (b, len(rows), n)
+    assert all(r.kept for r in by_bucket["head"])
+    tail_rate = sum(r.kept for r in by_bucket["tail"]) / len(by_bucket["tail"])
+    assert tail_rate <= 0.35
+    # fluency ordering: head xent strictly below tail xent
+    assert max(r.xent_bits for r in by_bucket["head"]) <= min(
+        r.xent_bits for r in by_bucket["tail"]
+    )
+    # deterministic: second run identical
+    again = ccnet_bucket_sample(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
