@@ -531,6 +531,23 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUERY_STOPS = ("the", "a", "table", "row", "value", "key", "join", "scan")
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (DPR/Contriever recipe):
+    per query, the top-k nearest corpus vectors with a DIFFERENT
+    label — broadcast queries, label predicate below the scoring."""
+    from eynollah_spark.operators.similarity import hard_negatives
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    return hard_negatives(e, q, k=TOPK_K)
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity-bucket sampling (Wenzek et
     al. 2020 §4.3) over the corpus bigram LM, deterministic
@@ -1804,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_rules": _q_c4_rules,
         "ccnet_buckets": _q_ccnet_buckets,
+        "hard_negatives": _q_hard_negatives,
         # dedup family (driver-unchecked in r03)
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
@@ -2504,6 +2522,30 @@ SELECT ch.doc_id,
          AS dup_token_frac
 FROM ch LEFT JOIN sh ON ch.h = sh.h
 GROUP BY ch.doc_id
+"""
+
+    sql["hard_negatives"] = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM e WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+s AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q, e WHERE e.label <> q.query_label
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM s)
+WHERE rk <= {TOPK_K}
 """
 
     ccnet_h = _h64sql("(CAST(doc_id AS VARCHAR) || ':ccnet')")

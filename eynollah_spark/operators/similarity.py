@@ -872,3 +872,56 @@ def pq_topk(
     if with_cost:
         cols.append("n_candidates")
     return out.filter(F.col("rank") <= k_results).select(*cols)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    Contriever recipe): for each query, the k most-similar corpus
+    vectors with a DIFFERENT label — near the query in embedding
+    space but semantically wrong, exactly the negatives that make a
+    retriever train. Same plan shape as ``brute_force_topk``
+    (broadcast queries, JVM-side fold dot products, one top-k window
+    keyed on query_id), with the label-mismatch predicate pushed below
+    the scoring so same-label rows never rank. Ties break by corpus id
+    (total order — partition-invariant).
+
+    Returns (query_id, query_label, vec_id, neg_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("vec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "vec_id", "neg_label", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

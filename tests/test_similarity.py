@@ -262,3 +262,44 @@ def test_pq_rerank_lifts_recall(emb):
     # with the shortlist covering the whole corpus the re-ranked result
     # is the exact quantized-cosine top-k: near-perfect vs brute force
     assert len(rer & truth) / len(truth) >= 0.8
+
+
+def test_hard_negatives_label_exclusion(spark, sf_dir):
+    """Hard negatives never share the query's label, rank by cosine
+    within each query, and are the same vectors brute-force top-k
+    would return once same-label rows are removed."""
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    q = e.filter("vec_id < 4")
+    out = hard_negatives(e, q, k=3).collect()
+    assert out and all(r.neg_label != r.query_label for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    # cross-check vs an unlabeled big-k brute force filtered by label
+    bf = brute_force_topk(e, q, k=len(labels)).collect()
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.cosine for r in rows] == sorted(
+            (r.cosine for r in rows), reverse=True
+        )
+        qlab = rows[0].query_label
+        want = [
+            r.vec_id
+            for r in sorted(
+                (r for r in bf if r.query_id == qid), key=lambda r: r.rank
+            )
+            if labels[r.vec_id] != qlab
+        ][:3]
+        assert [r.vec_id for r in rows] == want
