@@ -2552,8 +2552,16 @@ WHERE rk <= {TOPK_K}
     sql["ccnet_buckets"] = f"""
 WITH lmq AS ({sql["lm_quality"]}),
 sc AS (SELECT doc_id, xent_bits FROM lmq WHERE n_bigrams > 0),
-th AS (SELECT quantile_cont(xent_bits, 1.0/3) AS t1,
-              quantile_cont(xent_bits, 2.0/3) AS t2 FROM sc),
+v AS (SELECT xent_bits, count(*) AS c FROM sc GROUP BY xent_bits),
+cum AS (SELECT xent_bits,
+               sum(c) OVER (ORDER BY xent_bits
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM v),
+nn AS (SELECT count(*) AS n FROM sc),
+th AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN xent_bits END) AS t1,
+              min(CASE WHEN cum >= (2 * n + 2) // 3 THEN xent_bits END) AS t2
+       FROM cum CROSS JOIN nn),
 b AS (
   SELECT doc_id, xent_bits,
          CASE WHEN xent_bits <= t1 THEN 'head'
@@ -2611,9 +2619,9 @@ SELECT doc_id,
        round(CASE WHEN nw > 0 THEN alpha * 1.0 / nw ELSE 0.0 END, 6) AS alpha_frac,
        CAST(stop_hits AS INT) AS stop_hits,
        (nw >= 50 AND nw <= 100000 AND mean_wl >= 3 AND mean_wl <= 10
-        AND sym_ratio < 0.1 AND bullet * 1.0 / nl < 0.9
-        AND ell_end * 1.0 / nl < 0.3 AND nw > 0
-        AND alpha * 1.0 / nw > 0.8 AND stop_hits >= 2) AS gopher_keep
+        AND sym_ratio <= 0.1 AND bullet * 1.0 / nl <= 0.9
+        AND ell_end * 1.0 / nl <= 0.3 AND nw > 0
+        AND alpha * 1.0 / nw >= 0.8 AND stop_hits >= 2) AS gopher_keep
 FROM s
 """
 
@@ -2646,7 +2654,7 @@ t AS (
               regexp_replace(text, '\\.', '', 'g'), '!', '', 'g'),
               '\\?', '', 'g')) AS INT) AS n_sentences,
          contains(lower(text), 'lorem ipsum') AS has_lorem,
-         contains(text, '{{') AS has_brace
+         regexp_matches(text, '[{{}}]') AS has_brace
   FROM docs2
 )
 SELECT doc_id,

@@ -538,6 +538,32 @@ def _incremental_probe(
     )
 
 
+def _index_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works
+    for local paths in tests and HDFS/S3A in production alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _index_versions(spark, path: str) -> list[int]:
+    """Sorted version numbers of ``v=<N>`` snapshot directories under
+    ``path`` (committed or not — commit status is decided by meta/)."""
+    fs, hpath, _ = _index_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def write_dedup_index(
     index_docs: DataFrame,
     path: str,
@@ -546,40 +572,75 @@ def write_dedup_index(
     num_hashes: int = 16,
     bands: int = 4,
     max_band_freq: int | None = 1000,
-) -> None:
+) -> int:
     """Persist the incremental-dedup index snapshot: exactly the three
     frames ``incremental_dedup`` derives from the index corpus each
     run, so a probe against the snapshot is a CHECKPOINT of the same
     plan. Between crawl snapshots a production pipeline appends the
     new survivors here instead of re-shingling the whole index.
 
-    Layout (parquet directories under ``path``):
+    Snapshots are VERSIONED and committed atomically-enough for object
+    stores: each write lands in a fresh ``path/v=<N>/`` directory
+    (N = max existing + 1) and is committed by writing ``meta/`` LAST,
+    after every data frame is fully written — so a crash mid-write
+    leaves an uncommitted version directory that probes skip, never a
+    new ``exact/`` silently paired with an old ``bands/``. ``meta/``
+    carries the version, the shingle/signature knobs, and the row
+    count of each frame; probes validate both before trusting the
+    snapshot. Concurrent PROBES are always safe (they only read
+    committed versions); concurrent WRITERS are out of scope — a crawl
+    pipeline has one snapshot writer.
+
+    Layout (parquet directories under ``path/v=<N>/``):
       exact/    — distinct md5 text hashes (_h)
       bands/    — hot-bucket-capped banded MinHash signatures
                   (doc_id, band, bsig, n_sh)
       shingles/ — distinct (doc_id, hb) 60-bit shingle hashes, the
                   exact-Jaccard verification universe
-      meta/     — one row of the shingle/signature knobs; probes
-                  validate against it (a probe with different knobs
-                  would silently compare incompatible sketches)
+      meta/     — written LAST: version + knobs + per-frame row
+                  counts; its presence IS the commit marker
+
+    Returns the committed version number.
     """
     index_docs = index_docs.select("doc_id", text_col)
     rows = num_hashes // bands
     spark = index_docs.sparkSession
+    existing = _index_versions(spark, path)
+    version = (existing[-1] + 1) if existing else 1
+    vpath = f"{path}/v={version}"
     index_docs.select(
         F.md5(F.col(text_col)).alias("_h")
-    ).distinct().write.mode("overwrite").parquet(f"{path}/exact")
+    ).distinct().write.mode("overwrite").parquet(f"{vpath}/exact")
     _cap_bands(
         _banded(minhash_signatures(index_docs, text_col, k, num_hashes), bands, rows),
         max_band_freq,
-    ).write.mode("overwrite").parquet(f"{path}/bands")
+    ).write.mode("overwrite").parquet(f"{vpath}/bands")
     shingle_hashes(index_docs, text_col, k).write.mode("overwrite").parquet(
-        f"{path}/shingles"
+        f"{vpath}/shingles"
     )
+    # footer-only counts of what actually landed on disk — recorded in
+    # meta so a probe can fingerprint the frames it is about to trust
+    counts = [
+        spark.read.parquet(f"{vpath}/{frame}").count()
+        for frame in ("exact", "bands", "shingles")
+    ]
     spark.createDataFrame(
-        [(k, num_hashes, bands, -1 if max_band_freq is None else max_band_freq)],
-        "k int, num_hashes int, bands int, max_band_freq int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+        [
+            (
+                version,
+                k,
+                num_hashes,
+                bands,
+                -1 if max_band_freq is None else max_band_freq,
+                counts[0],
+                counts[1],
+                counts[2],
+            )
+        ],
+        "version int, k int, num_hashes int, bands int, max_band_freq int, "
+        "n_exact bigint, n_bands bigint, n_shingles bigint",
+    ).write.mode("overwrite").parquet(f"{vpath}/meta")
+    return version
 
 
 def incremental_dedup_indexed(
@@ -595,22 +656,57 @@ def incremental_dedup_indexed(
     """``incremental_dedup`` against a PERSISTED index snapshot
     (``write_dedup_index``): identical output to recomputing from the
     index corpus — proven by test — but the index side is three
-    parquet scans instead of a full re-shingle. Raises if the probe
-    knobs disagree with the snapshot's recorded knobs."""
+    parquet scans instead of a full re-shingle.
+
+    The snapshot is resolved through its commit marker: the HIGHEST
+    ``v=<N>`` directory whose ``meta/`` exists is the current index
+    (meta is written last, so an uncommitted/torn version is invisible
+    here). Before probing, the recorded per-frame row counts are
+    checked against the frames on disk — a mismatch means the snapshot
+    was tampered with or partially rewritten, and raises rather than
+    silently under-flagging duplicates. Knob mismatch raises too (a
+    probe with different knobs would silently compare incompatible
+    sketches)."""
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    fs, _, jvm = _index_fs(spark, index_path)
+    vpath = None
+    for v in reversed(_index_versions(spark, index_path)):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/v={v}/meta")):
+            vpath = f"{index_path}/v={v}"
+            break
+    if vpath is None:
+        # pre-versioning flat layout (legacy snapshots): meta/ at top
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")):
+            vpath = index_path
+        else:
+            raise ValueError(
+                f"no committed dedup index snapshot under {index_path}"
+            )
+    meta = spark.read.parquet(f"{vpath}/meta").collect()[0]
     want = (k, num_hashes, bands, -1 if max_band_freq is None else max_band_freq)
     have = (meta.k, meta.num_hashes, meta.bands, meta.max_band_freq)
     if want != have:
         raise ValueError(
-            f"dedup index at {index_path} was built with "
+            f"dedup index at {vpath} was built with "
             f"(k, num_hashes, bands, max_band_freq)={have}, probe uses {want}"
         )
+    frames = {
+        name: spark.read.parquet(f"{vpath}/{name}")
+        for name in ("exact", "bands", "shingles")
+    }
+    if "n_exact" in meta.asDict():
+        for name, frame in frames.items():
+            n_disk, n_meta = frame.count(), meta[f"n_{name}"]
+            if n_disk != n_meta:
+                raise ValueError(
+                    f"dedup index snapshot {vpath}/{name} has {n_disk} rows "
+                    f"but meta recorded {n_meta} — torn or tampered snapshot"
+                )
     return _incremental_probe(
         new_docs.select("doc_id", text_col),
-        spark.read.parquet(f"{index_path}/exact"),
-        spark.read.parquet(f"{index_path}/bands"),
-        spark.read.parquet(f"{index_path}/shingles"),
+        frames["exact"],
+        frames["bands"],
+        frames["shingles"],
         None,
         text_col,
         k,

@@ -196,16 +196,23 @@ def ccnet_bucket_sample(
     bucket at its own rate — the standard recipe that over-samples
     fluent text without discarding the tail outright.
 
-    Deterministic end to end: terciles are exact sort-based
-    percentiles (the engine-portable interpolation length_percentiles
-    already hash-proves), and the keep decision is the md5(doc_id)
-    rule of ``stratified_sample`` — no RNG, identical on any cluster
-    layout. Docs with no bigrams (n_bigrams = 0) have no score and are
-    excluded, matching CCNet's behavior for empty pages.
+    Deterministic end to end: the tercile thresholds are exact ORDER
+    STATISTICS — t1 is the smallest score value whose cumulative doc
+    count reaches ceil(n/3) (t2 at ceil(2n/3)) — so each boundary is
+    an exact corpus value, never an interpolated float whose last ulp
+    could flip a boundary doc between engines. The keep decision is
+    the md5(doc_id) rule of ``stratified_sample`` — no RNG, identical
+    on any cluster layout. Docs with no bigrams (n_bigrams = 0) have
+    no score and are excluded, matching CCNet's behavior for empty
+    pages.
 
     Scale shape: the LM scoring is the bigram operator's (hash-keyed
-    count shuffles); the tercile aggregate is ONE scalar row broadcast
-    back; bucket assignment + sampling are map-side.
+    count shuffles); the cumulative count over DISTINCT score values
+    is the two-level prefix sum (per-integer-bit bucket totals over a
+    tiny bucket table, then within-bucket windows — the otsu /
+    pack_documents shape, never one giant exact-percentile buffer);
+    the resulting 1-row threshold frame is broadcast back; bucket
+    assignment + sampling are map-side.
 
     Returns (doc_id, xent_bits, bucket, kept).
     """
@@ -216,9 +223,44 @@ def ccnet_bucket_sample(
     scored = bigram_lm_scores(docs, text_col).filter(
         F.col("n_bigrams") > 0
     )
-    th = scored.agg(
-        F.percentile("xent_bits", F.lit(1.0 / 3)).alias("t1"),
-        F.percentile("xent_bits", F.lit(2.0 / 3)).alias("t2"),
+    # exact order-statistic terciles over distinct score values:
+    # cumulative counts via the two-level prefix sum (integer-bit
+    # buckets are a tiny table — xent_bits spans a few dozen integer
+    # bit-costs — so the offsets window is bounded; within-bucket
+    # windows partition by bucket)
+    vals = scored.groupBy("xent_bits").agg(F.count(F.lit(1)).alias("_c"))
+    vals = vals.withColumn("_b", F.floor("xent_bits").cast("bigint"))
+    w_off = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        vals.groupBy("_b")
+        .agg(F.sum("_c").alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
+        .select("_b", "_off")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("xent_bits")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        vals.join(F.broadcast(offsets), "_b")
+        .withColumn("_cum", F.sum("_c").over(w_in) + F.col("_off"))
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).alias("_n"))
+    th = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr("(_n + 2) DIV 3"), F.col("xent_bits")
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr("(2 * _n + 2) DIV 3"),
+                F.col("xent_bits"),
+            )
+        ).alias("t2"),
     )
     bucket = (
         F.when(F.col("xent_bits") <= F.col("t1"), F.lit("head"))

@@ -200,10 +200,13 @@ def gopher_rules(
     """The Gopher document-quality rules (Rae et al. 2021, A1.1) as a
     single map-side pass — the published-threshold variant of
     ``quality_features``: word-count bounds, mean word length in
-    [3, 10], symbol-to-word ratio (# and ellipsis) < 0.1, < 90% of
-    lines bullet-led, < 30% of lines ellipsis-ended, >= 80% of words
+    [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, <= 90% of
+    lines bullet-led, <= 30% of lines ellipsis-ended, >= 80% of words
     containing an alphabetic character, and >= 2 distinct hits from
-    the stop-word probe list. Pure Catalyst (string/array expressions
+    the stop-word probe list. Boundaries are inclusive on the keep
+    side: Rae et al. A1.1 removes a document only on STRICT violation
+    of a threshold, so a doc sitting exactly on a published boundary
+    is kept. Pure Catalyst (string/array expressions
     only), zero shuffle, engine-portable arithmetic (counts and exact
     ratios; rounding only at the output edge).
 
@@ -225,11 +228,16 @@ def gopher_rules(
     )
     ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
     alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    stop_hits = sum(
-        F.when(
-            F.array_contains(F.transform(toks, F.lower), s), F.lit(1)
-        ).otherwise(F.lit(0))
-        for s in stop_words
+    # one lowering pass: the distinct-intersection size IS the number
+    # of stop words present (the list has no duplicates), and the
+    # lowered token array appears exactly once in the plan — the
+    # per-stop-word array_contains form re-lowered the full token
+    # array len(stop_words) times per row
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(s) for s in stop_words]),
+        )
     )
     mean_wl = F.when(
         nw > 0,
@@ -255,11 +263,11 @@ def gopher_rules(
             & (nw <= 100000)
             & (mean_wl >= 3)
             & (mean_wl <= 10)
-            & (sym_ratio < 0.1)
-            & (bullet / nl < 0.9)
-            & (ell_end / nl < 0.3)
+            & (sym_ratio <= 0.1)
+            & (bullet / nl <= 0.9)
+            & (ell_end / nl <= 0.3)
             & (nw > 0)
-            & (alpha / nw > 0.8)
+            & (alpha / nw >= 0.8)
             & (stop_hits >= 2)
         ).alias("gopher_keep"),
     )
@@ -298,7 +306,7 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     ).cast("int")
     has_lorem = F.lower(t).contains("lorem ipsum")
-    has_brace = t.contains("{")
+    has_brace = t.rlike("[{}]")
     return df.select(
         "doc_id",
         F.size(lines).cast("int").alias("n_lines"),

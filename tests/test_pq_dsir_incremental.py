@@ -221,7 +221,7 @@ def test_incremental_dedup_indexed_matches_recompute(spark, sf_dir, tmp_path):
         index.limit(20).selectExpr("doc_id + 1000000 AS doc_id", "text")
     )
     path = str(tmp_path / "dedup_index")
-    write_dedup_index(index, path)
+    assert write_dedup_index(index, path) == 1
 
     live = sorted(map(tuple, incremental_dedup(new, index).collect()))
     snap = sorted(map(tuple, incremental_dedup_indexed(new, path).collect()))
@@ -232,3 +232,43 @@ def test_incremental_dedup_indexed_matches_recompute(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="built with"):
         incremental_dedup_indexed(new, path, bands=8)
+
+
+def test_dedup_index_commit_marker_and_tamper_guard(spark, sf_dir, tmp_path):
+    """A snapshot version with no meta/ (crash before commit) is
+    invisible to probes — they keep reading the last committed
+    version; a committed snapshot whose frames were partially
+    rewritten (row counts disagree with meta) raises instead of
+    silently probing a torn index."""
+    import shutil
+
+    import pytest
+
+    from eynollah_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1").limit(40)
+    path = str(tmp_path / "dedup_index")
+    assert write_dedup_index(index, path) == 1
+    committed = sorted(map(tuple, incremental_dedup_indexed(new, path).collect()))
+
+    # crash mid-write of v=2: data frames exist, meta never written
+    assert write_dedup_index(index.limit(10), path) == 2
+    shutil.rmtree(f"{path}/v=2/meta")
+    after_crash = sorted(
+        map(tuple, incremental_dedup_indexed(new, path).collect())
+    )
+    assert after_crash == committed  # still reads v=1
+
+    # torn committed snapshot: exact/ rewritten under v=1's meta
+    index.limit(3).selectExpr("md5(text) AS _h").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/v=1/exact")
+    with pytest.raises(ValueError, match="torn or tampered"):
+        incremental_dedup_indexed(new, path).collect()
