@@ -141,6 +141,55 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transcripts_gapped_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """transcripts_from_documents with a PLANTED intra-line gap (the
+    planted-structure pattern of the twocol/shear corpora): every
+    full 8-token wrapped line has its 4th inter-word space widened to
+    3 spaces. The std corpus joins tokens with single spaces, so §9L
+    curved-line splitting (space runs >= line_split_gap = 2) can NEVER
+    fire on it; this corpus gives every long line exactly one
+    qualifying valley — deep (3 zero columns ≈ 12-30% of the smoothed
+    max, under the 40% gate) and centered in dense ink (two-sided
+    prominence ≈ 100% >= 50%) — so the -cl path demonstrably splits
+    and the hash oracle checks real cuts, not a vacuous pass-through."""
+    lines = docpage.doc_lines(_docs(spark, sf_dir))
+    words = F.split(F.col("line"), " ")
+    gapped = F.when(
+        F.size(words) >= 8,
+        F.concat(
+            F.array_join(F.slice(words, 1, 4), " "),
+            F.lit("   "),
+            F.array_join(F.slice(words, 5, F.size(words) - 4), " "),
+        ),
+    ).otherwise(F.col("line"))
+    lines = lines.withColumn("line", gapped)
+    turns = (
+        lines.withColumn("turn_idx", (F.col("line_idx") / LINES_PER_TURN).cast("int"))
+        .groupBy("doc_id", "turn_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return turns.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
 def transcripts_twocol_from_documents(
     spark: SparkSession,
     sf_dir: str,
@@ -1649,6 +1698,50 @@ def _q_extract_spans_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_spans_cl_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-mode extraction with curved-line splitting ON (-cl
+    analog, separate_lines.py:128-673) and an EXACT SQL oracle: §9L
+    subdivides long spans at the smoothed valleys of their own
+    char-ink profile (integer-gaussian sigma scaled by span length),
+    and in simple mode that is the ONLY non-degenerate machinery on
+    top of extract_spans_simple — so the oracle is the simple-mode SQL
+    plus a per-span convolution/valley/piece-renumber tail. Runs over
+    the GAPPED corpus (planted 3-space valleys) so long spans really
+    split. Gives the driver an independent hash-checked signal on the
+    -cl path (the full-mode extract_spans_cl row stays
+    rows+schema-only)."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans(
+        transcripts_gapped_from_documents(spark, sf_dir),
+        ExtractConfig(
+            max_columns=1,
+            small_fragment_max_len=0,
+            enable_line_split=True,
+            # lorem 8-token lines top out at ~59 chars; the default 80
+            # floor (sized for real page lines) would never arm §9L on
+            # this corpus, so the query pins the knob (mirrored in the
+            # oracle) to make the split branch demonstrably fire
+            line_split_min_len=40,
+        ),
+    )
+
+
+def _q_extract_spans_salted_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew-hardened fan-out (X1/X2) run in simple mode and
+    hash-checked against the UNSALTED simple oracle — the external-
+    engine version of the partition-invariance test: the salted
+    repartition + order-preserving merge must be byte-invisible in the
+    output, so the oracle SQL is literally extract_spans_simple's."""
+    from eynollah_spark.config import ExtractConfig
+
+    return extract_spans_salted(
+        transcripts_from_documents(spark, sf_dir),
+        ExtractConfig(max_columns=1, small_fragment_max_len=0),
+        salt_buckets=8,
+    )
+
+
 def _q_page_diags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pages(transcripts_from_documents(spark, sf_dir))
 
@@ -1796,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is gated by the fixture pytest suites
         # (tests/test_extract_e2e.py, tests/test_kernel_oracle.py)
         "extract_spans_simple": _q_extract_spans_simple,
+        "extract_spans_cl_simple": _q_extract_spans_cl_simple,
+        "extract_spans_salted_simple": _q_extract_spans_salted_simple,
         "extract_spans_twocol_simple": _q_extract_spans_twocol_simple,
         "extract_spans_margin_simple": _q_extract_spans_margin_simple,
         "extract_spans_shear_simple": _q_extract_spans_shear_simple,
@@ -4228,6 +4323,42 @@ tl AS (
   FROM l0
 )"""
 
+    # std corpus with the planted 3-space gap after the 4th token of
+    # every full 8-token line (transcripts_gapped_from_documents):
+    # Spark F.slice(words, 5, size-4) == DuckDB tk5[5:] (both take
+    # elements 5..end)
+    _GAPPED_CORPUS = """toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+linelists AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(tk) / 8.0) AS INT)),
+                        i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls
+  FROM toks
+),
+l0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+         unnest(ls) AS line
+  FROM linelists
+),
+gl AS (
+  SELECT doc_id, line_idx,
+         CASE WHEN len(str_split(line, ' ')) >= 8
+              THEN array_to_string(str_split(line, ' ')[1:4], ' ')
+                   || '   '
+                   || array_to_string(str_split(line, ' ')[5:], ' ')
+              ELSE line END AS line
+  FROM l0
+),
+tl AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST(line_idx // 4 AS INT) AS turn_idx,
+         CAST(line_idx % 4 AS INT) AS tli,
+         line
+  FROM gl
+)"""
+
     def _twocol_corpus(cell_l: int, cell_r: int, gap: int) -> str:
         return """toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
@@ -4498,6 +4629,151 @@ SELECT conv_id,
 FROM withreg
 """
     sql["extract_spans_simple"] = _simple_prefix(False) + _spans_final
+
+    # extract_spans_salted_simple: the salted fan-out must be
+    # byte-invisible in the output, so its oracle IS the unsalted
+    # simple-mode SQL — a hash mismatch here means the salt/merge
+    # machinery leaked into results
+    sql["extract_spans_salted_simple"] = sql["extract_spans_simple"]
+
+    # extract_spans_cl_simple: §9L curved-line splitting on top of the
+    # simple-mode chain (separate_lines.py:128-673 analog). Long text
+    # spans (L >= 80) subdivide at space runs (width >= 2) whose
+    # integer-gaussian-smoothed ink depth is <= 40% of the span's
+    # profile max with two-sided prominence >= 50%; sigma scales with
+    # span length: sigma = min(1 + L // 160, 8). The weights table is
+    # generated by the SAME integerized-kernel function the Spark
+    # kernel uses, so the convolution is bit-identical by construction.
+    from eynollah_spark.kernel.textpage import _gauss_weights
+
+    _clw_rows = []
+    for _s in range(1, 9):
+        _r, _wts = _gauss_weights(1.0 * _s)
+        for _k in range(-_r, _r + 1):
+            _clw_rows.append(f"({_s},{_k},{_wts[_k + _r]})")
+    _CL_TAIL = """,
+clbase AS MATERIALIZED (  -- pin the simple-mode chain to ONE
+  SELECT * FROM withreg   -- execution: the tail references it 3x and
+),                        -- DuckDB would re-run the inlined windows
+clsp AS MATERIALIZED (  -- SPEC §9L candidates (min_len knob = 40)
+  SELECT conv_id, turn_idx, span_idx, text, length(text) AS L,
+         least(1 + length(text) // 160, 8) AS sig
+  FROM clbase WHERE region_type = 'text' AND length(text) >= 40
+),
+clw(sig, k, wt) AS (VALUES __CLW__),
+clink AS MATERIALIZED (  -- per-char ink mask of each candidate span
+  SELECT conv_id, turn_idx, span_idx, sig, pos,
+         CASE WHEN substr(text, CAST(pos + 1 AS INT), 1) <> ' '
+              THEN 1 ELSE 0 END AS ink
+  FROM (SELECT *, unnest(range(L)) AS pos FROM clsp)
+),
+clsm AS MATERIALIZED (  -- zero-padded integer gaussian convolution
+  SELECT a.conv_id, a.turn_idx, a.span_idx, a.pos,
+         coalesce(sum(w.wt * b.ink), 0) AS sm
+  FROM clink a
+  JOIN clw w ON w.sig = a.sig
+  LEFT JOIN clink b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+   AND b.span_idx = a.span_idx AND b.pos = a.pos + w.k
+  GROUP BY a.conv_id, a.turn_idx, a.span_idx, a.pos
+),
+clpm AS MATERIALIZED (
+  SELECT conv_id, turn_idx, span_idx, pos, sm,
+         max(sm) OVER (PARTITION BY conv_id, turn_idx, span_idx) AS max_s,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, span_idx
+                  ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lmax,
+         coalesce(max(sm) OVER (PARTITION BY conv_id, turn_idx, span_idx
+                  ORDER BY pos
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS rmax
+  FROM clsm
+),
+clruns AS (  -- maximal space runs of width >= 2 (line_split_gap)
+  SELECT conv_id, turn_idx, span_idx, min(pos) AS a, max(pos) AS b
+  FROM (SELECT i.*, pos - row_number() OVER (
+               PARTITION BY conv_id, turn_idx, span_idx ORDER BY pos) AS grp
+        FROM clink i WHERE ink = 0)
+  GROUP BY conv_id, turn_idx, span_idx, grp
+  HAVING count(*) >= 2
+),
+clq AS MATERIALIZED (  -- depth <= 40% of max_s, prominence >= 50%
+  SELECT d.conv_id, d.turn_idx, d.span_idx, d.a, d.b
+  FROM (SELECT r.conv_id, r.turn_idx, r.span_idx, r.a, r.b,
+               min(s.sm) AS depth
+        FROM clruns r JOIN clsm s
+          ON s.conv_id = r.conv_id AND s.turn_idx = r.turn_idx
+         AND s.span_idx = r.span_idx AND s.pos BETWEEN r.a AND r.b
+        GROUP BY r.conv_id, r.turn_idx, r.span_idx, r.a, r.b) d
+  JOIN clpm pa ON pa.conv_id = d.conv_id AND pa.turn_idx = d.turn_idx
+              AND pa.span_idx = d.span_idx AND pa.pos = d.a
+  JOIN clpm pb ON pb.conv_id = d.conv_id AND pb.turn_idx = d.turn_idx
+              AND pb.span_idx = d.span_idx AND pb.pos = d.b
+  WHERE pa.max_s > 0 AND d.depth * 100 <= 40 * pa.max_s
+    AND least(pa.lmax, pb.rmax) * 100 >= 50 * pa.max_s
+),
+clpieces AS MATERIALIZED (  -- complement segments of the cut runs
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, span_idx
+                            ORDER BY ps) AS pseq,
+         count(*) OVER (PARTITION BY conv_id, turn_idx, span_idx)
+           AS npieces
+  FROM (
+    SELECT conv_id, turn_idx, span_idx,
+           coalesce(lag(b) OVER (PARTITION BY conv_id, turn_idx, span_idx
+                                 ORDER BY a) + 1, 0) AS ps,
+           a AS pe
+    FROM clq
+    UNION ALL
+    SELECT q.conv_id, q.turn_idx, q.span_idx,
+           max(q.b) + 1 AS ps, min(t.L) AS pe
+    FROM clq q JOIN clsp t USING (conv_id, turn_idx, span_idx)
+    GROUP BY q.conv_id, q.turn_idx, q.span_idx
+  ) WHERE ps < pe
+),
+clrows AS (  -- splice pieces in place of spans that split >= 2 ways
+  SELECT conv_id, turn_idx, region_seq, region_type, char_start,
+         char_end, text, span_idx AS osi, 0 AS pseq, region_num
+  FROM clbase w
+  WHERE NOT EXISTS (SELECT 1 FROM clpieces p
+                    WHERE p.conv_id = w.conv_id
+                      AND p.turn_idx = w.turn_idx
+                      AND p.span_idx = w.span_idx AND p.npieces >= 2)
+  UNION ALL
+  SELECT w.conv_id, w.turn_idx, w.region_seq, w.region_type,
+         w.char_start + p.ps AS char_start,
+         w.char_start + p.pe AS char_end,
+         substr(w.text, CAST(p.ps + 1 AS INT),
+                CAST(p.pe - p.ps AS INT)) AS text,
+         w.span_idx AS osi, p.pseq, w.region_num
+  FROM clbase w JOIN clpieces p USING (conv_id, turn_idx, span_idx)
+  WHERE p.npieces >= 2
+),
+clnum AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY osi, pseq) - 1 AS span_idx
+  FROM clrows
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CAST(span_idx AS INT) AS span_idx,
+       region_type,
+       CAST(region_seq AS INT) AS region_seq,
+       CAST(char_start AS INT) AS char_start,
+       CAST(char_end AS INT) AS char_end,
+       text,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, span_idx)
+            - 1 AS INT) AS reading_order,
+       printf('region_%04d', region_num) AS region_id,
+       printf('region_%04d_line_%04d', region_num,
+              row_number() OVER (PARTITION BY conv_id, turn_idx, region_seq
+                                 ORDER BY span_idx)) AS line_id
+FROM clnum
+""".replace("__CLW__", ", ".join(_clw_rows))
+    sql["extract_spans_cl_simple"] = (
+        _core_prefix(_GAPPED_CORPUS, False, True) + _SIMPLE_TAIL + _CL_TAIL
+    )
 
     # twocol tail: the full SPEC §6/§6p/§6m column machinery in SQL.
     # Valid because on the twocol corpus lead == 0 on every line (§6d
