@@ -40,6 +40,7 @@ from eynollah_spark.operators.extract import (
     probe_turn_metadata,
 )
 from eynollah_spark.operators.multimodal import (
+    FEATURE_DIM,
     extract_features,
     sample_frames,
     synthetic_assets,
@@ -1221,8 +1222,25 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction with an EXACT DuckDB oracle: the
+    deterministic stub (byte histogram folded to FEATURE_DIM) is pure
+    arithmetic over md5-derived payload bytes, so the oracle rebuilds
+    the same payloads hex-digit by hex-digit in SQL. Digest columns
+    are chosen engine-exact: byte_wsum recovers the INTEGER
+    sum(bucket * count) from the normalized feature (round() kills the
+    divide-then-multiply ulp), and argmax ties break to the lowest
+    bucket in both engines."""
     assets = synthetic_assets(spark, n=64, seed=7)
     feats = extract_features(assets, fake_decode=True)
+    wsum = F.aggregate(
+        F.zip_with(
+            "feature",
+            F.sequence(F.lit(0), F.lit(FEATURE_DIM - 1)),
+            lambda v, i: v * i,
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
     return feats.select(
         "asset_id",
         "modality",
@@ -1230,6 +1248,10 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias(
             "feature_sum"
         ),
+        F.round(wsum * F.col("n_bytes"), 0).cast("bigint").alias("byte_wsum"),
+        (
+            F.array_position("feature", F.array_max("feature")) - 1
+        ).cast("int").alias("argmax_bucket"),
     )
 
 
@@ -2641,6 +2663,60 @@ FROM (
                                ORDER BY cosine DESC, vec_id ASC) AS rk
   FROM s)
 WHERE rk <= {TOPK_K}
+"""
+
+    # multimodal fake path: synthetic_assets(n=64, seed=7) payloads are
+    # (md5('7:i') * (4 + i%7))[:64 + (i*13)%256] — rebuilt here hex-digit
+    # by hex-digit (the Python slice silently truncates to 16*reps bytes,
+    # hence the least()); the stub feature is the byte histogram folded
+    # mod FEATURE_DIM and normalized, so sum(bucket*cnt) and the
+    # lowest-index argmax are integer-exact in both engines
+    _MM_META = """meta AS (
+  SELECT i,
+         printf('asset%05d', i) AS asset_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+         least(64 + (i * 13) % 256, 16 * (4 + i % 7)) AS plen,
+         repeat(md5('7:' || CAST(i AS VARCHAR)), 4 + i % 7) AS hx
+  FROM (SELECT CAST(unnest(range(64)) AS INT) AS i)
+)"""
+    sql["multimodal_features"] = f"""
+WITH {_MM_META},
+vals AS (
+  SELECT m.i,
+         ((strpos('0123456789abcdef', substr(m.hx, 2 * b.j + 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(m.hx, 2 * b.j + 2, 1)) - 1)
+           % 16 AS bucket
+  FROM meta m
+  JOIN (SELECT i, CAST(unnest(range(plen)) AS INT) AS j FROM meta) b
+    ON b.i = m.i
+),
+hist AS (
+  SELECT i, bucket, count(*) AS cnt FROM vals GROUP BY i, bucket
+)
+SELECT m.asset_id, m.modality,
+       CAST(m.plen AS BIGINT) AS n_bytes,
+       round(sum(h.cnt * 1.0 / m.plen), 6) AS feature_sum,
+       CAST(sum(h.bucket * h.cnt) AS BIGINT) AS byte_wsum,
+       CAST(min(CASE WHEN h.cnt = mx.mx THEN h.bucket END) AS INT)
+         AS argmax_bucket
+FROM meta m
+JOIN hist h USING (i)
+JOIN (SELECT i, max(cnt) AS mx FROM hist GROUP BY i) mx ON mx.i = m.i
+GROUP BY m.asset_id, m.modality, m.plen
+"""
+
+    sql["frame_sample"] = f"""
+WITH {_MM_META},
+vids AS (SELECT asset_id, plen, i % 10 + 1 AS n FROM meta
+         WHERE modality = 'video')
+SELECT asset_id,
+       CAST(f.j AS INT) AS frame_idx,
+       CAST(f.j * 1000 AS BIGINT) AS ts_ms,
+       CAST(((f.j + 1) * plen) // n - (f.j * plen) // n AS INT)
+         AS frame_bytes
+FROM vids, (SELECT asset_id AS aid, unnest(range(n)) AS j FROM vids) f
+WHERE f.aid = vids.asset_id
 """
 
     ccnet_h = _h64sql("(CAST(doc_id AS VARCHAR) || ':ccnet')")
