@@ -195,6 +195,12 @@ class LineModel:
 # utf8_trim_whitespace uses the Unicode White_Space property, which
 # differs on \x1c-\x1f etc.).
 _PY_WHITESPACE = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+# boolean LUT over the same range for grid-side .strip() parity
+# (0x3000 IDEOGRAPHIC SPACE is Unicode's highest whitespace codepoint,
+# so clamping larger codepoints to index 0 — NUL, not whitespace — is
+# exact); used by the batched column-span trim in _emit_cols
+_WS_LUT = np.zeros(0x3001, dtype=bool)
+_WS_LUT[[ord(c) for c in _PY_WHITESPACE]] = True
 
 
 def _flatten_lines_arrow(texts: pd.Series):
@@ -899,10 +905,42 @@ def _analyze_batch(
                             gl[s],
                         )
                     pos = take_end
-        pages_iter = np.flatnonzero(complex_page & ~tool_page)
+        # --- widened fast path: complex pages WITHOUT page-gutter mode
+        # (~96% of them) emit batch-vectorized via _emit_cols; only
+        # pages where §6p page-column mode can fire (>= 2 text blocks
+        # with a cached non-empty page gutter, or an uncached wide
+        # page) keep the per-page walk ---------------------------------
+        cols_df = None
+        cplx_pages = np.flatnonzero(complex_page & ~tool_page)
+        if _EMIT_COLS and len(cplx_pages):
+            if len(starts):
+                ntext_page = np.bincount(
+                    r_page[r_label == C_TEXT], minlength=P
+                )
+            else:
+                ntext_page = np.zeros(P, dtype=np.int64)
+            take_cols = []
+            fallback = []
+            for t in cplx_pages:
+                if ntext_page[t] >= 2:
+                    ent = page_gutter_cache.get(int(offsets[t]))
+                    if ent is None or ent[1]:
+                        fallback.append(int(t))
+                        continue
+                take_cols.append(int(t))
+            if take_cols:
+                cols_df = _emit_cols(
+                    take_cols, r_lo, r_hi, starts, counts, r_label,
+                    band, r_page, lines_np, stripped_np, line_start,
+                    lstr_len, s_len, raw_len, gutter_cache, pdf, cfg,
+                )
+            pages_iter = np.asarray(fallback, dtype=np.int64)
+        else:
+            pages_iter = cplx_pages
     else:
         gutter_cache = {}
         page_gutter_cache = {}
+        cols_df = None
         pages_iter = np.arange(P)
 
     for t in pages_iter:
@@ -1008,13 +1046,25 @@ def _analyze_batch(
         frames = []
         if fast_df is not None and len(fast_df):
             frames.append(fast_df)
+        if cols_df is not None and len(cols_df):
+            frames.append(cols_df)
         if len(out):
             frames.append(out)
         return frames
-    if fast_df is not None and len(fast_df):
-        out = pd.concat([fast_df, out], ignore_index=True) if len(out) else fast_df
-    return out
+    done = [
+        f
+        for f in (fast_df, cols_df, out)
+        if f is not None and len(f)
+    ]
+    if not done:
+        return out
+    return done[0] if len(done) == 1 else pd.concat(done, ignore_index=True)
 
+
+# A/B switch for the batched column-page emission (_emit_cols): tests
+# force it off to drive every complex page through the per-page
+# _emit_page walk and assert bit-identical output
+_EMIT_COLS = True
 
 # reading-order type group per line class (SPEC §7)
 _TG_LUT = np.full(16, 9, dtype=np.int8)
@@ -1027,35 +1077,23 @@ _TG_LUT[C_MARG] = 2
 _TG_LUT[C_SEP] = 3
 
 
-def _emit_fast(
-    fr_start, fr_count, fr_label, fr_band, fr_page,
-    pdf, strp_np, cstart, s_len, lead, cfg,
-):
-    """Array-native span emission for column-free regions (SPEC
-    §§7,8,9,10): sort regions by (page, band, type-group, first_line),
-    apply the §8 drop-capital merge and the §9 overlap-argmax fragment
-    adherence as array patches, drop span-less regions, number regions
-    and spans per page, gather span fields — numpy throughout except
-    the (rare) per-merge patch loops."""
-    order = np.lexsort((fr_start, _TG_LUT[fr_label], fr_band, fr_page))
-    st = fr_start[order].astype(np.int64)
-    cn = fr_count[order].astype(np.int64)
-    pg = fr_page[order].astype(np.int64)
-    bd = fr_band[order].astype(np.int64)
-    lb = fr_label[order]
+def _emit_core(lb, pg, bd, rl, cs, ce, texts, spn_len, cola, colb, pdf, cfg):
+    """Shared array engine for SPEC §§8,9,10 over ORDERED regions and
+    their span arrays: the §8 drop-capital merge and the §9
+    overlap-argmax fragment adherence run as array patches, span-less
+    regions vanish, regions and spans number per page, span fields
+    gather into the output frame — numpy throughout except the (rare)
+    per-merge patch loops.
 
-    total = int(cn.sum())
-    if total == 0:
+    Per-region (in final reading order): lb (class codes), pg (page
+    ids, ascending), bd (bands). Per-span (grouped by region, ascending
+    rl, reading order within region): cs/ce/texts/spn_len plus the §9
+    column range cola/colb (profile coordinates). All span arrays must
+    be writable copies — §8/§9 patch them in place."""
+    R = len(lb)
+    if len(rl) == 0:
         return None
-    reg_first = np.cumsum(cn) - cn
-    line_ids = np.repeat(st - reg_first, cn) + np.arange(total, dtype=np.int64)
-    reg_of_line = np.repeat(np.arange(len(st), dtype=np.int64), cn)
-    keep = s_len[line_ids] > 0
-    li = line_ids[keep]
-    rl = reg_of_line[keep]
-    if len(li) == 0:
-        return None
-    kept_per_region = np.bincount(rl, minlength=len(st))
+    kept_per_region = np.bincount(rl, minlength=R)
 
     # §8 drop-capital merge: a dropcap whose next non-empty region (in
     # final order) is a TEXT region of the same page+band folds its
@@ -1063,54 +1101,59 @@ def _emit_fast(
     merged_src: dict[int, int] = {}
     dc_idx = np.flatnonzero(lb == C_DROPCAP)
     for i in dc_idx:
+        if kept_per_region[i] == 0:
+            continue  # span-less dropcap: absent from the page walk
         j = i + 1
-        while j < len(st) and kept_per_region[j] == 0:
+        while j < R and kept_per_region[j] == 0:
             j += 1
         if (
-            j < len(st)
+            j < R
             and pg[j] == pg[i]
             and lb[j] == C_TEXT
             and bd[j] == bd[i]
         ):
             merged_src[int(j)] = int(i)
     if merged_src:
-        dropped = np.zeros(len(st), dtype=bool)
-        for i in merged_src.values():
-            dropped[i] = True
-        m = ~dropped[rl]
-        li = li[m]
-        rl = rl[m]
-        kept_per_region = np.bincount(rl, minlength=len(st))
-        if len(li) == 0:
-            return None
-
-    # span field arrays (before numbering so §8/§9 patches can edit)
-    cs = cstart[li].copy()
-    ce = (cs + s_len[li]).copy()
-    texts = strp_np[li]
-    spn_len = s_len[li].copy()  # post-merge span text lengths
-    if merged_src:
+        dc_first = {}
+        dropped = np.zeros(R, dtype=bool)
         for j, i in merged_src.items():
+            dropped[i] = True
+            p = int(np.searchsorted(rl, i))
+            dc_first[j] = (cs[p], texts[p], spn_len[p])
+        m = ~dropped[rl]
+        rl = rl[m]
+        cs = cs[m]
+        ce = ce[m]
+        texts = texts[m]
+        spn_len = spn_len[m]
+        cola = cola[m]
+        colb = colb[m]
+        kept_per_region = np.bincount(rl, minlength=R)
+        if len(rl) == 0:
+            return None
+        for j, (dcs, dtext, dlen) in dc_first.items():
             pos = int(np.searchsorted(rl, j))
-            dc_line = int(st[i])
-            texts[pos] = strp_np[dc_line] + texts[pos]
-            cs[pos] = cstart[dc_line]
-            spn_len[pos] += s_len[dc_line]
+            texts[pos] = dtext + texts[pos]
+            cs[pos] = dcs
+            spn_len[pos] += dlen
 
     # §9 overlap-argmax fragment adherence (SPEC §9), as a patch over
     # the span arrays: fragments in TEXT regions merge into the big
     # span with maximal column overlap (ties: index-nearest, then
-    # earliest); fragment spans are then excluded before numbering
-    drop_span = np.zeros(len(li), dtype=bool)
+    # earliest); fragment spans are then excluded before numbering.
+    # The merged dropcap span keeps the TARGET's column range (cola/
+    # colb are never patched), matching the per-page walk.
+    drop_span = np.zeros(len(rl), dtype=bool)
     frag_mask = (spn_len <= cfg.small_fragment_max_len) & (lb[rl] == C_TEXT)
     if frag_mask.any():
-        for t_r in np.unique(rl[frag_mask]):
-            a0 = int(np.searchsorted(rl, t_r))
-            a1 = int(np.searchsorted(rl, t_r, side="right"))
+        uregs = np.unique(rl[frag_mask])
+        ua0 = np.searchsorted(rl, uregs)
+        ua1 = np.searchsorted(rl, uregs, side="right")
+        for a0, a1 in zip(ua0.tolist(), ua1.tolist()):
             k = a1 - a0
             sl = spn_len[a0:a1]
-            fa = lead[li[a0:a1]]
-            fe = fa + s_len[li[a0:a1]]
+            fa = cola[a0:a1]
+            fe = colb[a0:a1]
             is_frag = sl <= cfg.small_fragment_max_len
             bigs = [x for x in range(k) if not is_frag[x]]
             if not bigs:
@@ -1144,24 +1187,23 @@ def _emit_fast(
                     ce[pos] = ce[a0 + suf[x][-1]]
         if drop_span.any():
             m = ~drop_span
-            li = li[m]
             rl = rl[m]
             cs = cs[m]
             ce = ce[m]
             texts = texts[m]
-            kept_per_region = np.bincount(rl, minlength=len(st))
-            if len(li) == 0:
+            kept_per_region = np.bincount(rl, minlength=R)
+            if len(rl) == 0:
                 return None
 
     # regions with zero surviving spans vanish before numbering
     ne = np.flatnonzero(kept_per_region > 0)
     pg_ne = pg[ne]
     seq_ne = np.arange(len(ne), dtype=np.int64) - np.searchsorted(pg_ne, pg_ne)
-    region_seq = np.zeros(len(st), dtype=np.int64)
+    region_seq = np.zeros(R, dtype=np.int64)
     region_seq[ne] = seq_ne
 
     span_page = pg[rl]
-    span_idx = np.arange(len(li), dtype=np.int64) - np.searchsorted(span_page, span_page)
+    span_idx = np.arange(len(rl), dtype=np.int64) - np.searchsorted(span_page, span_page)
 
     rt_lut = np.empty(16, dtype=object)
     for code, rt in _CODE_RT.items():
@@ -1180,6 +1222,265 @@ def _emit_fast(
             "char_end": ce,
             "text": texts,
         }
+    )
+
+
+def _emit_fast(
+    fr_start, fr_count, fr_label, fr_band, fr_page,
+    pdf, strp_np, cstart, s_len, lead, cfg,
+):
+    """Array-native span emission for column-free regions: sort regions
+    by (page, band, type-group, first_line), derive one span per
+    non-blank line, hand off to the shared ``_emit_core`` engine."""
+    order = np.lexsort((fr_start, _TG_LUT[fr_label], fr_band, fr_page))
+    st = fr_start[order].astype(np.int64)
+    cn = fr_count[order].astype(np.int64)
+    pg = fr_page[order].astype(np.int64)
+    bd = fr_band[order].astype(np.int64)
+    lb = fr_label[order]
+
+    total = int(cn.sum())
+    if total == 0:
+        return None
+    reg_first = np.cumsum(cn) - cn
+    line_ids = np.repeat(st - reg_first, cn) + np.arange(total, dtype=np.int64)
+    reg_of_line = np.repeat(np.arange(len(st), dtype=np.int64), cn)
+    keep = s_len[line_ids] > 0
+    li = line_ids[keep]
+    rl = reg_of_line[keep]
+    if len(li) == 0:
+        return None
+    cs = cstart[li]
+    spn = s_len[li].copy()
+    return _emit_core(
+        lb, pg, bd, rl,
+        cs.copy(), cs + spn, strp_np[li], spn,
+        lead[li], lead[li] + spn,
+        pdf, cfg,
+    )
+
+
+def _emit_cols(
+    pages, r_lo, r_hi, starts, counts, r_label, band, r_page,
+    lines_np, stripped_np, line_start, lstr_len, s_len, raw_len,
+    gutter_cache, pdf, cfg,
+):
+    """Array-native span emission for COLUMN pages without page-gutter
+    mode (SPEC §6 column split + §6m marginalia + §§7-10) — the
+    widened fast path: ~96% of complex pages are block-gutter-only and
+    previously walked ``_emit_page`` one page at a time.
+
+    Guttered text regions expand into per-column sub-regions; the
+    column piece trim runs as ONE batched searchsorted over the
+    chunk-gridded non-whitespace coordinates (exact ``str.strip()``
+    parity via _WS_LUT) instead of per-piece slice+lstrip+rstrip;
+    plain regions reuse the line-span arrays; everything merges into
+    one region table ordered by (page, band, type-group, first, col)
+    and finishes in the shared ``_emit_core`` engine. Bit-identical to
+    the per-page walk (A/B-fuzzed in tests/test_kernel_oracle.py)."""
+    K = 1 + int(raw_len.max()) if len(raw_len) else 1
+
+    # --- region tables: plain regions (one row) vs guttered text ---
+    rg_lab, rg_bd, rg_first, rg_col, rg_pg = [], [], [], [], []
+    a_start, a_count = [], []  # plain regions, parallel to their rows
+    gregs = []  # (start, count, shifts, gutters, w, band, page)
+    for t in pages:
+        for r in range(r_lo[t], r_hi[t]):
+            st_r = int(starts[r])
+            cn_r = int(counts[r])
+            lab = int(r_label[r])
+            bd_r = int(band[st_r])
+            ent = gutter_cache.get(st_r) if lab == C_TEXT else None
+            if ent is not None and ent[2]:
+                shifts, sh_prof, gutters = ent
+                if shifts is not None:
+                    w = len(sh_prof)
+                else:
+                    w = int(raw_len[st_r : st_r + cn_r].max())
+                gregs.append((st_r, cn_r, shifts, gutters, w, bd_r, int(t)))
+            else:
+                rg_lab.append(lab)
+                rg_bd.append(bd_r)
+                rg_first.append(st_r)
+                rg_col.append(0)
+                rg_pg.append(int(t))
+                a_start.append(st_r)
+                a_count.append(cn_r)
+
+    # --- guttered regions: batched column piece extraction ---------------
+    pair_meta = []  # per (region, col): (greg_ord, col, a, b)
+    if gregs:
+        g_start = np.asarray([g[0] for g in gregs], dtype=np.int64)
+        g_count = np.asarray([g[1] for g in gregs], dtype=np.int64)
+        g_lineoff = np.cumsum(g_count) - g_count
+        Lg = int(g_count.sum())
+        li_g = np.repeat(g_start - g_lineoff, g_count) + np.arange(
+            Lg, dtype=np.int64
+        )
+        shift_flat = np.zeros(Lg, dtype=np.int64)
+        for go, (st_r, cn_r, shifts, _g, _w, _b, _t) in enumerate(gregs):
+            if shifts is not None:
+                off = int(g_lineoff[go])
+                shift_flat[off : off + cn_r] = np.asarray(shifts, dtype=np.int64)
+        # chunked non-whitespace coordinates (line-major => sorted keys)
+        key_chunks = []
+        pos = 0
+        while pos < Lg:
+            end = min(pos + 16384, Lg)
+            sel = li_g[pos:end]
+            Wc = int(raw_len[sel].max()) if end > pos else 0
+            if Wc > 0:
+                grid = (
+                    lines_np[sel]
+                    .astype(f"U{Wc}")
+                    .view(np.uint32)
+                    .reshape(end - pos, Wc)
+                )
+                valid = (
+                    np.arange(Wc, dtype=np.int64)[None, :]
+                    < raw_len[sel][:, None]
+                )
+                nonws = valid & ~_WS_LUT[np.where(grid <= 0x3000, grid, 0)]
+                rows_nz, cols_nz = np.nonzero(nonws)
+                key_chunks.append((rows_nz + pos) * K + cols_nz)
+            pos = end
+        flat_keys = (
+            np.concatenate(key_chunks) if key_chunks else np.zeros(0, np.int64)
+        )
+        # (region, col) pairs, col-ascending per region
+        for go, (_st, _cn, _sh, gutters, w, _b, _t) in enumerate(gregs):
+            prev = 0
+            for g0, g1 in gutters:
+                pair_meta.append((go, len(pair_meta), prev, g0))
+                prev = g1 + 1
+            pair_meta.append((go, len(pair_meta), prev, w))
+        pr_greg = np.asarray([p[0] for p in pair_meta], dtype=np.int64)
+        pr_a = np.asarray([p[2] for p in pair_meta], dtype=np.int64)
+        pr_b = np.asarray([p[3] for p in pair_meta], dtype=np.int64)
+        # (pair, line) triples: window searchsorted over the flat keys
+        tri_cnt = g_count[pr_greg]
+        tri_first = np.cumsum(tri_cnt) - tri_cnt
+        n_tri = int(tri_cnt.sum())
+        tri_pair = np.repeat(np.arange(len(pair_meta), dtype=np.int64), tri_cnt)
+        tri_line = (
+            np.repeat(g_lineoff[pr_greg] - tri_first, tri_cnt)
+            + np.arange(n_tri, dtype=np.int64)
+        )
+        sh_t = shift_flat[tri_line]
+        base = tri_line * K
+        # clamp the window into the line's key slot: a shifted segment
+        # end can exceed the widest line (K - 1), and an unclamped key
+        # would bleed into the NEXT line's coordinates
+        i0 = np.searchsorted(
+            flat_keys, base + np.minimum(pr_a[tri_pair] + sh_t, K - 1)
+        )
+        i1 = np.searchsorted(
+            flat_keys, base + np.minimum(pr_b[tri_pair] + sh_t, K - 1)
+        )
+        has = i1 > i0
+        tl_h = tri_line[has]
+        s0 = flat_keys[i0[has]] - tl_h * K
+        s1 = flat_keys[i1[has] - 1] - tl_h * K
+        gl = li_g[tl_h]
+        sh_h = sh_t[has]
+        lenB = s1 + 1 - s0
+        csB = line_start[gl] + s0
+        ceB = csB + lenB
+        colaB = s0 - sh_h
+        colbB = s1 + 1 - sh_h
+        textsB = np.empty(len(gl), dtype=object)
+        e0 = s0.tolist()
+        e1 = (s1 + 1).tolist()
+        for x, i in enumerate(gl.tolist()):
+            textsB[x] = lines_np[i][e0[x] : e1[x]]
+        spB = tri_pair[has]
+        pair_nspan = np.bincount(spB, minlength=len(pair_meta))
+        pair_maxlen = np.zeros(len(pair_meta), dtype=np.int64)
+        np.maximum.at(pair_maxlen, spB, lenB)
+        # §6m projection marginalia + sub-region rows (non-empty pairs
+        # only, matching the per-page col_entries)
+        rel = round(cfg.marginalia_width_frac * 100)
+        pair_row = np.full(len(pair_meta), -1, dtype=np.int64)
+        p_at = 0
+        for go, (_st, _cn, _sh, gutters, w, bd_r, t) in enumerate(gregs):
+            n_cols = len(gutters) + 1
+            ent = [
+                p_at + c for c in range(n_cols) if pair_nspan[p_at + c] > 0
+            ]
+            n_e = len(ent)
+            for idx, p in enumerate(ent):
+                rt = C_TEXT
+                if n_e >= 2 and (idx == 0 or idx == n_e - 1):
+                    wd = int(pr_b[p] - pr_a[p])
+                    others = max(
+                        int(pr_b[q] - pr_a[q]) for q in ent if q != p
+                    )
+                    if (
+                        wd * 100 <= rel * w
+                        and 2 * wd <= others
+                        and pair_maxlen[p] <= cfg.marginalia_max_len
+                    ):
+                        rt = C_MARG
+                pair_row[p] = len(rg_lab)
+                rg_lab.append(rt)
+                rg_bd.append(bd_r)
+                rg_first.append(int(_st))
+                rg_col.append(int(p - p_at))
+                rg_pg.append(t)
+            p_at += n_cols
+
+    if not rg_lab:
+        return None
+    lb0 = np.asarray(rg_lab, dtype=np.int8)
+    bd0 = np.asarray(rg_bd, dtype=np.int64)
+    fi0 = np.asarray(rg_first, dtype=np.int64)
+    co0 = np.asarray(rg_col, dtype=np.int64)
+    pg0 = np.asarray(rg_pg, dtype=np.int64)
+    order = np.lexsort((co0, fi0, _TG_LUT[lb0], bd0, pg0))
+    new_of_old = np.empty(len(rg_lab), dtype=np.int64)
+    new_of_old[order] = np.arange(len(rg_lab), dtype=np.int64)
+
+    # span table (construction order), then ONE stable argsort groups
+    # spans under their ordered region — no per-region Python loop.
+    # Plain-region line spans via the same repeat trick as _emit_fast:
+    if a_start:
+        stA = np.asarray(a_start, dtype=np.int64)
+        cnA = np.asarray(a_count, dtype=np.int64)
+        regfA = np.cumsum(cnA) - cnA
+        totA = int(cnA.sum())
+        lidA = np.repeat(stA - regfA, cnA) + np.arange(totA, dtype=np.int64)
+        rowA = np.repeat(np.arange(len(stA), dtype=np.int64), cnA)
+        keepA = s_len[lidA] > 0
+        ids = lidA[keepA]
+        rlA = new_of_old[rowA[keepA]]  # plain rows are ids 0..nA-1
+        c0 = line_start[ids] + lstr_len[ids]
+        lnA = s_len[ids]
+        csA_, ceA_, txA_ = c0, c0 + lnA, stripped_np[ids]
+        caA_, cbA_ = lstr_len[ids], lstr_len[ids] + lnA
+    else:
+        z = np.zeros(0, dtype=np.int64)
+        rlA = csA_ = ceA_ = lnA = caA_ = cbA_ = z
+        txA_ = np.zeros(0, dtype=object)
+    if gregs and len(spB):
+        rlB = new_of_old[pair_row[spB]]
+        sp_rl = np.concatenate([rlA, rlB])
+        sp_cs = np.concatenate([csA_, csB])
+        sp_ce = np.concatenate([ceA_, ceB])
+        sp_tx = np.concatenate([txA_, textsB])
+        sp_ln = np.concatenate([lnA, lenB])
+        sp_ca = np.concatenate([caA_, colaB])
+        sp_cb = np.concatenate([cbA_, colbB])
+    else:
+        sp_rl, sp_cs, sp_ce, sp_tx = rlA, csA_, ceA_, txA_
+        sp_ln, sp_ca, sp_cb = lnA, caA_, cbA_
+    if len(sp_rl) == 0:
+        return None
+    sorder = np.argsort(sp_rl, kind="stable")
+    return _emit_core(
+        lb0[order], pg0[order], bd0[order],
+        sp_rl[sorder], sp_cs[sorder].copy(), sp_ce[sorder].copy(),
+        sp_tx[sorder], sp_ln[sorder].copy(), sp_ca[sorder], sp_cb[sorder],
+        pdf, cfg,
     )
 
 

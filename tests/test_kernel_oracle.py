@@ -920,3 +920,61 @@ def test_enhancement_tool_pages_bypass():
     key = lambda s: (s.span_idx, s.region_type, s.char_start, s.char_end, s.text)
     assert [key(s) for s in spans_on] == [key(s) for s in spans_off]
     assert page_diag_naive(text, "tool", cfg)["was_enhanced"] is False
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_emit_cols_matches_per_page_walk(seed):
+    """A/B fuzz: the batched column-page emission (_emit_cols) must be
+    bit-identical to the per-page _emit_page walk on randomized
+    multi-column corpora — same protocol as _select_gutters_batch.
+    Covers gutter splits, sheared blocks, marginalia relabels,
+    dropcaps, fragments and the empty-column edge."""
+    import numpy as np
+    import pandas as pd
+
+    from eynollah_spark.config import ExtractConfig
+    from eynollah_spark.kernel import textpage
+
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "ep", "zeta", "x", "Q"]
+    texts = []
+    for _ in range(300):
+        n_lines = int(rng.integers(1, 14))
+        lines = []
+        for k in range(n_lines):
+            if rng.random() < 0.5:
+                left = " ".join(rng.choice(words, rng.integers(1, 4)))
+                right = " ".join(rng.choice(words, rng.integers(0, 3)))
+                pad = int(rng.integers(24, 34))
+                line = left.ljust(pad) + right
+            else:
+                line = " ".join(rng.choice(words, rng.integers(0, 7)))
+            if rng.random() < 0.15:
+                line = " " * int(rng.integers(0, 6)) + line
+            if rng.random() < 0.1:
+                line = "## " + line
+            if rng.random() < 0.06:
+                line = "---"
+            lines.append(line)
+        texts.append("\n".join(lines))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": np.zeros(len(texts), dtype=np.int64),
+            "role": ["user"] * len(texts),
+            "text": texts,
+        }
+    )
+    for cfg in (ExtractConfig(), ExtractConfig(small_fragment_max_len=0)):
+        m = textpage.LineModel(cfg)
+        try:
+            textpage._EMIT_COLS = False
+            want = textpage.analyze_turns_batch(pdf, m)
+            textpage._EMIT_COLS = True
+            got = textpage.analyze_turns_batch(pdf, m)
+        finally:
+            textpage._EMIT_COLS = True
+        key = ["conv_id", "turn_idx", "span_idx"]
+        want = want.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
