@@ -160,3 +160,94 @@ def test_iceberg_span_sink_commit_semantics(spark, tmp_path):
     assert sorted(committed) == [0, 1, 2, 3]
     assert sink.write(df) == []  # all buckets committed -> no-op
     assert sink.read().count() == 20
+
+
+def test_crash_injected_mid_commit_resume_byte_identical(spark, tmp_path):
+    """REAL process-level failure injection (north_rule O14): the
+    production extract job is hard-killed (os._exit, no cleanup) in
+    the middle of the marker-commit loop — data fully written, only
+    some buckets marked done — and a stale partial parquet file from
+    the 'dead executor' is planted in a pending bucket directory.
+    Restarting with --resume must produce a final table byte-identical
+    to an uninterrupted run: unmarked buckets re-extract and the
+    dynamic partition overwrite replaces the torn directory."""
+    import os
+    import subprocess
+    import sys
+
+    from eynollah_spark.fixtures.transcripts import (
+        TRANSCRIPT_SCHEMA,
+        CorpusSpec,
+        generate_local,
+    )
+    from eynollah_spark.io.sinks import BucketedSpanSink
+    from eynollah_spark.operators.extract import extract_spans
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    local = generate_local(CorpusSpec(n_convs=30, seed=77))
+    turns = spark.createDataFrame(local, schema=TRANSCRIPT_SCHEMA)
+    inp = str(tmp_path / "turns.parquet")
+    turns.write.parquet(inp)
+    out = str(tmp_path / "sink")
+    expected = _sorted(extract_spans(turns).toPandas())
+
+    crash_script = tmp_path / "crash_job.py"
+    crash_script.write_text(
+        f"""
+import os, sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "jobs"))
+from eynollah_spark.io import sinks
+
+_orig = sinks.BucketedSpanSink._mark_done
+_n = [0]
+def _dying_mark(self, bucket):
+    if _n[0] == 3:
+        os._exit(137)  # hard kill mid-commit: no atexit, no JVM stop
+    _n[0] += 1
+    _orig(self, bucket)
+sinks.BucketedSpanSink._mark_done = _dying_mark
+
+sys.argv = ["extract_job", "--input", {inp!r}, "--output", {out!r},
+            "--buckets", "8", "--run-id", "r1"]
+import extract_job
+extract_job.main()
+"""
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r1 = subprocess.run(
+        [sys.executable, str(crash_script)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r1.returncode == 137, r1.stderr[-2000:]
+    sink = BucketedSpanSink(out, n_buckets=8, run_tag="r1")
+    done_after_crash = sink.done_buckets()
+    assert len(done_after_crash) == 3  # torn commit: 3 of 8 marked
+
+    # dead-executor debris: stale partial file in a PENDING bucket dir
+    pending = sorted(set(range(8)) - done_after_crash)
+    torn_dir = os.path.join(out, "data", f"_bucket={pending[0]}")
+    os.makedirs(torn_dir, exist_ok=True)
+    with open(os.path.join(torn_dir, "part-stale.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+
+    resume_script = tmp_path / "resume_job.py"
+    resume_script.write_text(
+        f"""
+import os, sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "jobs"))
+sys.argv = ["extract_job", "--input", {inp!r}, "--output", {out!r},
+            "--buckets", "8", "--run-id", "r1", "--resume"]
+import extract_job
+extract_job.main()
+"""
+    )
+    r2 = subprocess.run(
+        [sys.executable, str(resume_script)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert sink.done_buckets() == set(range(8))
+    got = _sorted(sink.read(spark).toPandas())
+    pd.testing.assert_frame_equal(got, expected)
