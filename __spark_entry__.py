@@ -95,6 +95,7 @@ LSH_TABLES = 3
 LSH_PROBE_R = 2  # multi-probe Hamming radius (Lv et al. 2007)
 IVF_CENTROIDS = 32
 IVF_PROBE = 18
+HNA_PROBE = 22  # hard_negatives_ann: label filter trims cells, needs deeper probing for recall >= 0.8
 PROBE_DENSITY_MIN = 30.0  # chars/line; the DPI_THRESHOLD=298 analog
 
 
@@ -596,6 +597,78 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     return hard_negatives(e, q, k=TOPK_K)
+
+
+def _emb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+def _q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed hard-negative mining: the DPR different-label top-k
+    routed through the IVF coarse quantizer (probe n_probe of
+    n_centroids cells per query instead of the whole corpus) — the
+    large-query-set production path; deterministic, exact SQL oracle."""
+    from eynollah_spark.operators.similarity import hard_negatives_ann
+
+    e = _emb_labeled(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    return hard_negatives_ann(
+        e, q, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=HNA_PROBE
+    )
+
+
+def _q_hard_negatives_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-scored ANN mining (the ann_recall protocol): recall@k of
+    the IVF-routed hard-negative miner against the brute-force miner,
+    with the probe COST alongside (avg different-label candidates
+    exact-scored per query, and that as a fraction of the corpus)."""
+    from eynollah_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+    )
+
+    e = _emb_labeled(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    truth = hard_negatives(e, q, k=TOPK_K).persist()
+    approx = hard_negatives_ann(
+        e, q, k=TOPK_K, n_centroids=IVF_CENTROIDS, n_probe=HNA_PROBE,
+        with_cost=True,
+    ).persist()
+    n_corp = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    hit = approx.select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    recall = (
+        truth.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    cost = (
+        approx.groupBy("query_id")
+        .agg(F.max("n_candidates").alias("nc"))
+        .agg(F.avg("nc").alias("_avg_nc"))
+    )
+    return (
+        recall.crossJoin(F.broadcast(cost))
+        .crossJoin(F.broadcast(n_corp))
+        .select(
+            "recall_at_k",
+            "n_pairs",
+            F.lit(HNA_PROBE).cast("int").alias("probes_per_query"),
+            F.round(F.col("_avg_nc"), 6).alias("avg_candidates"),
+            F.round(F.col("_avg_nc") / (F.col("n_corpus") - 1), 6).alias(
+                "scan_frac"
+            ),
+        )
+    )
 
 
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,
         "ccnet_buckets": _q_ccnet_buckets,
         "hard_negatives": _q_hard_negatives,
+        "hard_negatives_ann": _q_hard_negatives_ann,
+        "hard_negatives_ann_recall": _q_hard_negatives_ann_recall,
         # dedup family (driver-unchecked in r03)
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_scrub": _q_substring_scrub,
@@ -3929,6 +4004,89 @@ UNION ALL
 {_recall_arm("lsh", _lsh_full, _LSH_PROBES)}
 UNION ALL
 {_recall_arm("pq", _pq_full, PQ_M * PQ_K)}
+"""
+
+    # hard_negatives_ann: the _ivf_full chain with labels carried
+    # through and the different-label predicate on the candidate
+    # stream (below scoring), mirroring similarity.hard_negatives_ann
+    _hna_full = f"""
+WITH el AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+h AS (
+  SELECT vec_id, v,
+         CAST(('0x' || substring(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hk
+  FROM el
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS centroid_id,
+         v AS cvec
+  FROM (SELECT * FROM h ORDER BY hk, vec_id LIMIT {IVF_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, label, centroid_id FROM (
+    SELECT e.vec_id, e.label, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM el e, cent c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, query_label, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.label AS query_label, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cvec)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM el q, cent c WHERE q.vec_id < {TOPK_QUERY_MAX_ID})
+  WHERE rn <= {HNA_PROBE}
+),
+cand AS (
+  SELECT p.query_id, p.query_label, a.vec_id, a.label AS neg_label
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.label <> p.query_label
+),
+s AS (
+  SELECT query_id, query_label, c.vec_id, neg_label,
+         {_COS.format(a='qe', b='ce')} AS cosine
+  FROM cand c JOIN el qe ON qe.vec_id = c.query_id
+              JOIN el ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine,
+       CAST(rk AS INT) AS rank, n_candidates FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rk,
+         count(*) OVER (PARTITION BY query_id) AS n_candidates
+  FROM s)
+WHERE rk <= {TOPK_K}
+"""
+    sql["hard_negatives_ann"] = (
+        "SELECT query_id, query_label, vec_id, neg_label, cosine, rank "
+        f"FROM ({_hna_full})"
+    )
+    sql["hard_negatives_ann_recall"] = f"""
+WITH tr AS (SELECT query_id, vec_id FROM ({sql["hard_negatives"]}))
+SELECT round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS recall_at_k,
+       count(*) AS n_pairs,
+       CAST({HNA_PROBE} AS INT) AS probes_per_query,
+       (SELECT round(avg(nc), 6) FROM
+          (SELECT query_id, max(n_candidates) AS nc FROM ({_hna_full})
+           GROUP BY query_id)) AS avg_candidates,
+       (SELECT round(avg(nc) / ((SELECT count(*) FROM embeddings) - 1), 6) FROM
+          (SELECT query_id, max(n_candidates) AS nc FROM ({_hna_full})
+           GROUP BY query_id)) AS scan_frac
+FROM tr LEFT JOIN (SELECT query_id, vec_id FROM ({_hna_full})) a
+     USING (query_id, vec_id)
 """
 
     # dsir_select: bucket histograms + add-one-smoothed log-likelihood

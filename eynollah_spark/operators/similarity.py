@@ -267,6 +267,33 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "vec") ->
     )
 
 
+def _ivf_centroids(c: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic IVF centroid pick: the n_centroids corpus vectors
+    with the smallest md5-derived rank. orderBy().limit(n) compiles to
+    TakeOrderedAndProject — per-partition top-n merged at the driver,
+    NOT a global sort (the plan test asserts this), so the pick scales
+    with partitions. Only the tiny n-row result is then window-ranked
+    to assign dense centroid ids. ``c`` must have (vec_id, vec)."""
+    hcol = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    picked = (
+        c.select("vec_id", "vec", hcol.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
+        .limit(n_centroids)
+    )
+    return picked.select(
+        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -294,31 +321,7 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
 
-    # Centroid pick: the n_centroids corpus vectors with the smallest
-    # md5-derived rank. orderBy().limit(n) compiles to
-    # TakeOrderedAndProject — per-partition top-n merged at the driver,
-    # NOT a global sort (the plan test asserts this), so the pick
-    # scales with partitions. Only the tiny n-row result is then
-    # window-ranked to assign dense centroid ids.
-    hcol = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-    )
-    picked = (
-        c.select("vec_id", "vec", hcol.alias("_h"))
-        .orderBy(F.col("_h").asc(), F.col("vec_id").asc())
-        .limit(n_centroids)
-    )
-    centroids = picked.select(
-        (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1).alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-    )
-
+    centroids = _ivf_centroids(c, n_centroids)
     assigned = ivf_assign(c, centroids, "vec")
 
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
@@ -925,3 +928,78 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    with_cost: bool = False,
+) -> DataFrame:
+    """ANN-backed hard-negative mining: ``hard_negatives`` routed
+    through the IVF coarse quantizer, the production path when the
+    query set is large — each query exact-scores only its ``n_probe``
+    nearest centroid cells (~n_probe/n_centroids of the corpus)
+    instead of every corpus vector, so mining cost scales with the
+    probed fraction, not |corpus| x |queries|. The label-mismatch
+    predicate sits BELOW the scoring, on the candidate stream, so
+    same-label candidates never pay a dot product.
+
+    Deterministic end to end (md5 centroid pick, total-order tie
+    breaks) — the DuckDB oracle reproduces it exactly; truth-scored by
+    the ``hard_negatives_ann_recall`` query against the brute-force
+    miner (the ann_recall protocol). with_cost=True appends
+    ``n_candidates`` (different-label vectors exact-scored per query).
+
+    Returns (query_id, query_label, vec_id, neg_label, cosine, rank
+    [, n_candidates])."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    centroids = _ivf_centroids(c.select("vec_id", "vec"), n_centroids)
+    assigned = ivf_assign(c, centroids, "vec")
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_label", "qvec", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neg_label") != F.col("query_label")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qvec"), F.col("vec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("vec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    out = scored.withColumn("rank", F.row_number().over(w))
+    cols = [
+        "query_id", "query_label", "vec_id", "neg_label", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    ]
+    if with_cost:
+        wc = Window.partitionBy("query_id")
+        out = out.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        cols.append("n_candidates")
+    return out.filter(F.col("rank") <= k).select(*cols)

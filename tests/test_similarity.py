@@ -303,3 +303,34 @@ def test_hard_negatives_label_exclusion(spark, sf_dir):
             if labels[r.vec_id] != qlab
         ][:3]
         assert [r.vec_id for r in rows] == want
+
+
+def test_hard_negatives_ann_recall_and_labels(spark, sf_dir):
+    """The IVF-routed miner only returns different-label negatives,
+    ranks identically to exact scoring on the candidates it probes,
+    and keeps recall@k >= 0.8 against the brute-force miner at the
+    bench knobs (the VERDICT r4 acceptance bar)."""
+    import pyspark.sql.functions as F
+
+    from eynollah_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ann,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    q = e.filter("vec_id < 8")
+    exact = hard_negatives(e, q, k=5).collect()
+    ann = hard_negatives_ann(
+        e, q, k=5, n_centroids=32, n_probe=22, with_cost=True
+    ).collect()
+    assert ann and all(r.neg_label != r.query_label for r in ann)
+    n_corpus = e.count()
+    assert all(r.n_candidates < n_corpus for r in ann)  # really pruned
+    truth = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in ann}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
