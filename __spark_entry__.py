@@ -1968,15 +1968,64 @@ def _q_page_diags_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ORDER for the driver's time-budgeted correctness pass (r3 and r4
+# each covered ~50 entries before the budget ran out): (1) rows whose
+# semantics changed or were added in round 5 — they need a FRESH
+# external check; (2) rows the driver has never hash-checked, cheapest
+# first (costs from CORRECTNESS_local.json per-query timings); (3)
+# previously driver-green rows, cheapest first, with the heavy ANN /
+# curation composites last. Cheapest-first maximizes how many of the
+# 101 rows fit inside the driver's budget; the local mirror still runs
+# every entry each round.
+_DRIVER_ORDER = [
+    # (1) changed/new in round 5
+    "extract_spans_cl_simple", "extract_spans_salted_simple",
+    "multimodal_features", "frame_sample", "hard_negatives_ann",
+    "hard_negatives_ann_recall", "gopher_rules", "c4_rules",
+    "ccnet_buckets",
+    # (2) never driver-checked, cheapest first
+    "token_stats", "doc_boilerplate_strip", "stratified_sample",
+    "pii_scrub", "top_tokens", "chunk_documents",
+    "customers_without_orders", "split_counts", "length_percentiles",
+    "per_source_quota", "lang_id", "temperature_weights",
+    "quality_scores", "dedup_exact", "parts_by_brand",
+    "events_json_extract", "supplier_nation_balance",
+    "doc_line_classify", "bpe_pair_counts", "source_mix",
+    "train_shards", "events_minute_rollup", "priority_with_lineitems",
+    "pack_documents", "preference_pairs", "sft_pairs",
+    "ngram_diversity", "doc_fingerprint", "bm25_topk",
+    "events_sessionize", "contamination_check", "doc_region_runs",
+    "sql_top_nations", "doc_pagexml", "otsu_nchars",
+    "classifier_filter", "bloom_probe", "order_price_buckets",
+    "customer_top_order", "repetition_stats", "session_containment",
+    "activity_bands", "dsir_select", "turn_dedup", "lm_quality",
+    "streaming_minute_rollup", "incremental_dedup",
+    # (3) previously driver-green, cheapest first
+    "probe_metadata", "embedding_topk", "page_diags",
+    "winnowing_fingerprints", "conv_stats", "hard_negatives",
+    "extract_spans_tables", "token_budget_sample", "extract_spans_cl",
+    "extract_spans", "extract_spans_salted", "embedding_near_dup",
+    "paragraph_dedup", "ann_ivf_topk", "page_diags_enhanced_simple",
+    "jaccard_pairs", "extract_spans_enhanced_simple", "top_orders",
+    "extract_spans_tables_simple", "extract_spans_nofull_simple",
+    "page_diags_simple", "pricing_summary", "minhash_lsh_pairs",
+    "cdc_dedup", "region_revenue", "substring_scrub", "ann_lsh_topk",
+    "extract_spans_twocol_simple", "extract_spans_margin_simple",
+    "extract_spans_shear_simple", "simhash_pairs",
+    "e2e_curate_to_shards", "curation_survivors", "e2e_extract_curate",
+    "semdedup", "curation_full", "kmeans_embeddings", "pq_codes",
+    "near_dup_clusters", "near_dup_keep_best", "curation_v2",
+    "curation_funnel", "extract_spans_simple", "ann_pq_topk",
+    "ann_recall",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's time-budgeted correctness pass
-    # (round 3 covered the first 50 entries): the rows the driver has
-    # NOT yet hash-checked come first — the eynollah graft itself,
-    # then the dedup/ANN/curation stack — so that across rounds every
-    # oracle row gets at least one driver verification. Everything is
-    # also mirrored per-round in CORRECTNESS_local.json (the pytest
-    # harness correctness_local.py runs all entries).
-    return {
+    # The literal below is the source of truth for ENTRIES (grouped by
+    # subsystem for readability); _DRIVER_ORDER above fixes the
+    # driver-facing ordering. Any entry missing from the order list
+    # falls to the end rather than getting lost.
+    base = {
         # the eynollah graft itself. The *_simple family carries exact
         # SQL oracles (SQL-expressible kernel modes: degenerate,
         # two-column §6/§6p, §6m marginalia, §1e enhancement); the
@@ -2097,6 +2146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": _q_bloom_probe,
         "turn_dedup": _q_turn_dedup,
     }
+    ordered = {k: base[k] for k in _DRIVER_ORDER if k in base}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------

@@ -940,20 +940,26 @@ def test_emit_cols_matches_per_page_walk(seed):
     texts = []
     for _ in range(300):
         n_lines = int(rng.integers(1, 14))
+        # ~1 in 6 pages is a consistently-indented two-column block so
+        # the §6d shear path fires — its shifted segment windows can
+        # exceed the widest line (the key-slot-bleed regression class)
+        sheared = rng.random() < 0.17
         lines = []
         for k in range(n_lines):
-            if rng.random() < 0.5:
+            if rng.random() < 0.5 or sheared:
                 left = " ".join(rng.choice(words, rng.integers(1, 4)))
                 right = " ".join(rng.choice(words, rng.integers(0, 3)))
                 pad = int(rng.integers(24, 34))
                 line = left.ljust(pad) + right
             else:
                 line = " ".join(rng.choice(words, rng.integers(0, 7)))
-            if rng.random() < 0.15:
+            if sheared:
+                line = " " * k + line
+            elif rng.random() < 0.15:
                 line = " " * int(rng.integers(0, 6)) + line
-            if rng.random() < 0.1:
+            if not sheared and rng.random() < 0.1:
                 line = "## " + line
-            if rng.random() < 0.06:
+            if not sheared and rng.random() < 0.06:
                 line = "---"
             lines.append(line)
         texts.append("\n".join(lines))
