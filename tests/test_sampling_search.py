@@ -363,3 +363,30 @@ def test_ccnet_bucket_sample_terciles_and_rates(spark, sf_dir):
     # deterministic: second run identical
     again = ccnet_bucket_sample(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ccnet_tercile_thresholds_are_exact_corpus_values(spark, sf_dir):
+    """The tercile boundaries are ORDER STATISTICS — exact xent values
+    from the corpus, never interpolated floats — so a doc sitting
+    exactly on a boundary buckets identically in any engine: t1 is
+    the smallest value whose cumulative count reaches ceil(n/3), every
+    head doc satisfies xent <= t1, and head covers at least ceil(n/3)
+    docs (more only through ties AT the boundary value)."""
+    from eynollah_spark.operators.sampling import ccnet_bucket_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = ccnet_bucket_sample(docs).collect()
+    xs = sorted(r.xent_bits for r in rows)
+    n = len(xs)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    t1, t2 = xs[k1 - 1], xs[k2 - 1]
+    assert t1 in xs and t2 in xs  # corpus values, not interpolations
+    head = [r for r in rows if r.bucket == "head"]
+    mid = [r for r in rows if r.bucket == "middle"]
+    assert all(r.xent_bits <= t1 for r in head)
+    assert all(t1 < r.xent_bits <= t2 for r in mid)
+    # head = every doc at or below t1: at least k1, exceeding it only
+    # when the boundary value itself is tied
+    assert len(head) == sum(1 for x in xs if x <= t1) >= k1
