@@ -5061,6 +5061,133 @@ FROM clnum
         _core_prefix(_GAPPED_CORPUS, False, True) + _SIMPLE_TAIL + _CL_TAIL
     )
 
+    # extract_spans / _salted / _tables (FULL default config): on the
+    # std corpus the §6 column machinery is provably vacuous (token
+    # joins leave no >= 2-space runs, so the gutter quick-reject fires
+    # on every block; leads are all 0, so the §6d slope gate never
+    # arms) — the only semantics beyond the simple chain is the §9
+    # overlap-argmax small-fragment adherence
+    # (small_fragment_max_len = 2), reproduced here: each fragment
+    # merges into the big span with maximal column overlap (ties:
+    # index-nearest, then earliest big), fragment-only regions keep
+    # their spans, then spans renumber. This hash-checks the
+    # PRODUCTION-default extraction path against an independent
+    # engine; reference analog utils/__init__.py:923-948 (the pairwise
+    # small-x-big overlap matrix in 1-D).
+    _ADH_TAIL = """,
+adsp AS MATERIALIZED (  -- spans + §9 column ranges + intra-region ordinal
+  SELECT w.conv_id, w.turn_idx, w.region_seq, w.region_type,
+         w.region_num, w.span_idx, w.char_start, w.char_end, w.text,
+         w.char_start - f.line_start AS fa,
+         w.char_start - f.line_start + length(w.text) AS fe,
+         length(w.text) AS slen2,
+         row_number() OVER (PARTITION BY w.conv_id, w.turn_idx, w.region_seq
+                            ORDER BY w.span_idx) - 1 AS j
+  FROM withreg w JOIN ft2 f
+    ON f.conv_id = w.conv_id AND f.turn_idx = w.turn_idx AND f.tli = w.tli
+),
+adfr AS MATERIALIZED (
+  SELECT * FROM adsp WHERE region_type = 'text' AND slen2 <= 2
+),
+adbg AS MATERIALIZED (
+  SELECT * FROM adsp WHERE region_type = 'text' AND slen2 > 2
+),
+adas AS MATERIALIZED (  -- frag -> big: max overlap, nearest, earliest
+  SELECT conv_id, turn_idx, region_seq, fj, bj FROM (
+    SELECT fr.conv_id, fr.turn_idx, fr.region_seq, fr.j AS fj, bg.j AS bj,
+           row_number() OVER (
+             PARTITION BY fr.conv_id, fr.turn_idx, fr.region_seq, fr.j
+             ORDER BY greatest(least(fr.fe, bg.fe)
+                               - greatest(fr.fa, bg.fa), 0) DESC,
+                      abs(fr.j - bg.j) ASC, bg.j ASC) AS rn
+    FROM adfr fr JOIN adbg bg
+      ON bg.conv_id = fr.conv_id AND bg.turn_idx = fr.turn_idx
+     AND bg.region_seq = fr.region_seq)
+  WHERE rn = 1
+),
+admg AS (  -- per big: prepend pre-fragments, append suf-fragments
+  SELECT b.conv_id, b.turn_idx, b.region_seq, b.region_type,
+         b.region_num, b.span_idx,
+         coalesce(p.pcs, b.char_start) AS char_start,
+         coalesce(s.sce, b.char_end) AS char_end,
+         CASE WHEN p.ptext IS NOT NULL THEN p.ptext || ' ' ELSE '' END
+           || b.text
+           || CASE WHEN s.stext IS NOT NULL THEN ' ' || s.stext
+              ELSE '' END AS text
+  FROM adbg b
+  LEFT JOIN (
+    SELECT a.conv_id, a.turn_idx, a.region_seq, a.bj,
+           string_agg(f.text, ' ' ORDER BY f.j) AS ptext,
+           arg_min(f.char_start, f.j) AS pcs
+    FROM adas a JOIN adfr f
+      ON f.conv_id = a.conv_id AND f.turn_idx = a.turn_idx
+     AND f.region_seq = a.region_seq AND f.j = a.fj
+    WHERE a.fj < a.bj
+    GROUP BY a.conv_id, a.turn_idx, a.region_seq, a.bj
+  ) p ON p.conv_id = b.conv_id AND p.turn_idx = b.turn_idx
+     AND p.region_seq = b.region_seq AND p.bj = b.j
+  LEFT JOIN (
+    SELECT a.conv_id, a.turn_idx, a.region_seq, a.bj,
+           string_agg(f.text, ' ' ORDER BY f.j) AS stext,
+           arg_max(f.char_end, f.j) AS sce
+    FROM adas a JOIN adfr f
+      ON f.conv_id = a.conv_id AND f.turn_idx = a.turn_idx
+     AND f.region_seq = a.region_seq AND f.j = a.fj
+    WHERE a.fj > a.bj
+    GROUP BY a.conv_id, a.turn_idx, a.region_seq, a.bj
+  ) s ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+     AND s.region_seq = b.region_seq AND s.bj = b.j
+),
+adout AS (
+  SELECT conv_id, turn_idx, region_seq, region_type, region_num,
+         span_idx, char_start, char_end, text
+  FROM adsp WHERE region_type <> 'text'
+  UNION ALL
+  SELECT conv_id, turn_idx, region_seq, region_type, region_num,
+         span_idx, char_start, char_end, text
+  FROM admg
+  UNION ALL
+  SELECT f.conv_id, f.turn_idx, f.region_seq, f.region_type,
+         f.region_num, f.span_idx, f.char_start, f.char_end, f.text
+  FROM adfr f  -- fragment-only regions keep their spans
+  WHERE NOT EXISTS (SELECT 1 FROM adbg b
+                    WHERE b.conv_id = f.conv_id
+                      AND b.turn_idx = f.turn_idx
+                      AND b.region_seq = f.region_seq)
+),
+adnum AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY span_idx) - 1 AS nsi
+  FROM adout
+)"""
+    _ADH_FINAL = """
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CAST(nsi AS INT) AS span_idx,
+       region_type,
+       CAST(region_seq AS INT) AS region_seq,
+       CAST(char_start AS INT) AS char_start,
+       CAST(char_end AS INT) AS char_end,
+       text,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, nsi)
+            - 1 AS INT) AS reading_order,
+       printf('region_%04d', region_num) AS region_id,
+       printf('region_%04d_line_%04d', region_num,
+              row_number() OVER (PARTITION BY conv_id, turn_idx, region_seq
+                                 ORDER BY nsi)) AS line_id
+FROM adnum
+"""
+    sql["extract_spans"] = _simple_prefix(False) + _ADH_TAIL + _ADH_FINAL
+    # the salted fan-out must be byte-invisible in full mode too
+    sql["extract_spans_salted"] = sql["extract_spans"]
+    # tables mode: the '|'-rule classification arm is active (and
+    # vacuous on this corpus — no pipe lines), adherence identical
+    sql["extract_spans_tables"] = _simple_prefix(True) + _ADH_TAIL + _ADH_FINAL
+    # -cl in FULL mode: no std-corpus span reaches the 80-char split
+    # floor, so the per-page -cl walk must equal the fast-path output
+    # exactly — an external check that the two emission paths agree
+    sql["extract_spans_cl"] = sql["extract_spans"]
+
     # twocol tail: the full SPEC §6/§6p/§6m column machinery in SQL.
     # Valid because on the twocol corpus lead == 0 on every line (§6d
     # deskew can never fire) and the query sets max_columns=2 (W6
@@ -5860,6 +5987,15 @@ __DIAG_EXTRA_JOIN__
     # enable_enhancement is off in the simple family's config, so the
     # §1e gate can never fire there
     sql["page_diags_simple"] = _simple_prefix(False) + _diag_tail("FALSE")
+    # full-mode diagnostics: the simple diag tail with n_spans /
+    # n_regions counted AFTER the adherence merge
+    sql["page_diags"] = (
+        _simple_prefix(False)
+        + _ADH_TAIL
+        + _diag_tail("FALSE").replace(
+            "FROM numbered GROUP BY", "FROM adout GROUP BY"
+        )
+    )
     # the was_enhanced flag (is_image_enhanced analog) is oracle-checked
     # over the padded corpus via the per-turn density gate
     sql["page_diags_enhanced_simple"] = _materialize(
