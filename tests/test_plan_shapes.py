@@ -243,3 +243,17 @@ def test_cdc_dedup_single_chunk_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # no window operator at all — aggregates only
     assert "Window" not in plan, plan
+
+
+def test_hard_negatives_ann_plan_is_probed_not_cartesian(spark):
+    """ANN hard-negative mining: the centroid pick compiles to
+    TakeOrderedAndProject, probes and centroids broadcast (no
+    all-pairs cartesian against the corpus), and the candidate join
+    keys on centroid_id — the bucketed scan shape that holds at 10^9
+    vectors."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["hard_negatives_ann"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin [centroid_id" in plan, plan
