@@ -342,3 +342,93 @@ def test_training_ops_oracle_family_randomized_corpus(spark, tmp_path):
         mism = [(a, b) for a, b in zip(sn, dn) if a != b]
         assert not mism, f"{qname}: {len(mism)} mismatched; first: {mism[0]}"
     con.close()
+
+
+def test_adherence_oracle_on_fragment_dense_corpus(spark, tmp_path):
+    """Adversarial check of the full-mode extraction oracle's §9
+    adherence tail: a planted corpus where MOST lines contain 1-2 char
+    tokens forces many fragments per region, multiple bigs,
+    equidistant ties (nearest-then-earliest), leading/trailing
+    fragment runs, and fragment-only regions — far denser than the 3
+    fragments sf0.01 happens to produce. Spark full-mode extraction
+    and the DuckDB SQL must agree row-for-row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    frag_words = ["a", "io", "zz", "q", "xy", "b"]
+    big_words = ["table", "column", "windowed", "broadcast", "shuffle"]
+    docs = []
+    for d in range(120):
+        n_tok = int(rng.integers(8, 64))
+        toks = [
+            str(rng.choice(frag_words if rng.random() < 0.55 else big_words))
+            for _ in range(n_tok)
+        ]
+        docs.append((d, " ".join(toks)))
+    sf = tmp_path / "sf_frag"
+    sf.mkdir()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        sf / "documents.parquet"
+    )
+    sdf = entrymod.queries()["extract_spans"](spark, str(sf))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res = con.sql(entrymod.oracle_sql()["extract_spans"])
+    dcols = res.columns
+    drows = res.fetchall()
+    con.close()
+    assert srows, "corpus produced no spans"
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert _normalize(srows, scols) == _normalize(drows, dcols)
+
+
+def test_cl_oracle_exercises_higher_sigma(spark, tmp_path):
+    """The §9L split's sigma scales with span length (sigma =
+    min(1 + L//160, 8)); sf0.01 lorem lines stay under 160 chars so
+    only the sigma=1 weights row is exercised there. A corpus of LONG
+    tokens (8-token wrapped lines reach 200-400 chars) drives sigma
+    2-3 through both engines — the variable-radius convolution and its
+    generated weights table must still agree bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    stems = ["colum", "windo", "shuff", "broad", "parti"]
+    docs = []
+    for d in range(60):
+        n_tok = int(rng.integers(8, 40))
+        toks = [
+            str(rng.choice(stems)) * int(rng.integers(4, 10))
+            for _ in range(n_tok)
+        ]
+        docs.append((d, " ".join(toks)))
+    sf = tmp_path / "sf_long"
+    sf.mkdir()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        sf / "documents.parquet"
+    )
+    sdf = entrymod.queries()["extract_spans_cl_simple"](spark, str(sf))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    # sanity: the corpus really reaches the higher-sigma regime and
+    # really splits
+    assert any(len(r[7]) >= 160 for r in srows) or any(
+        r[5] > 0 for r in srows
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res = con.sql(entrymod.oracle_sql()["extract_spans_cl_simple"])
+    dcols = res.columns
+    drows = res.fetchall()
+    con.close()
+    assert srows and len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert _normalize(srows, scols) == _normalize(drows, dcols)
