@@ -10,11 +10,14 @@ CORRECTNESS_r{N}.json files.
 Usage:
     python correctness_local.py [--sf /root/testdata/sf0.01] [--out CORRECTNESS_local.json]
 
-The driver's per-round pass is time-budgeted and covered only 50/84
-queries in round 3; this mirror exists so every round still publishes
-a complete 84-query record, and so slow queries are visible (the
-"spark_sec" / "oracle_sec" fields) and can have their default knobs
-shaved.
+The driver's per-round pass is time-budgeted (r3/r4 each covered ~50
+rows before the budget ran out); this mirror exists so every round
+still publishes a complete record over every queries() entry (101 as
+of round 5, all with exact oracles), and so slow queries are visible
+(the "spark_sec" / "oracle_sec" fields) and can have their default
+knobs shaved. __spark_entry__._DRIVER_ORDER additionally orders the
+driver-facing dict changed-rows-first then cheapest-first so the
+driver's budget covers as many rows as possible.
 """
 
 from __future__ import annotations
