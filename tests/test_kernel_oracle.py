@@ -922,7 +922,7 @@ def test_enhancement_tool_pages_bypass():
     assert page_diag_naive(text, "tool", cfg)["was_enhanced"] is False
 
 
-@pytest.mark.parametrize("seed", [7, 41])
+@pytest.mark.parametrize("seed", [7, 41, 113, 227])
 def test_emit_cols_matches_per_page_walk(seed):
     """A/B fuzz: the batched column-page emission (_emit_cols) must be
     bit-identical to the per-page _emit_page walk on randomized
