@@ -2552,13 +2552,15 @@ cum AS (
 ),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt, CAST(sum(v * c) AS BIGINT) AS st FROM hist),
 scored AS (
+  -- engine-exact form: D^2 / (n0*(nt-n0)) with integer D = s0*nt-st*n0
+  -- (one double multiply + one divide on exactly-representable ints)
   SELECT v, n0, nt,
-         n0 * (nt - n0)
-           * ((s0 * 1.0 / n0) - ((st - s0) * 1.0 / (nt - n0)))
-           * ((s0 * 1.0 / n0) - ((st - s0) * 1.0 / (nt - n0))) AS between
+         (CAST(s0 * nt - st * n0 AS DOUBLE)
+          * CAST(s0 * nt - st * n0 AS DOUBLE))
+           / CAST(n0 * (nt - n0) AS DOUBLE) AS between
   FROM cum, tot WHERE n0 < nt
 )
-SELECT v AS threshold, round(between, 4) AS between_var,
+SELECT v AS threshold, between AS between_var,
        n0 AS n_below, nt - n0 AS n_above
 FROM scored ORDER BY between DESC, v ASC LIMIT 1
 """

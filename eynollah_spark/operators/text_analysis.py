@@ -371,17 +371,26 @@ def otsu_threshold(
     tot = hist.agg(
         F.sum("c").alias("nt"), F.sum(F.col("v") * F.col("c")).alias("st")
     )
+    # between-class variance in the engine-exact form
+    #   n0*(nt-n0)*(mu0-mu1)^2 == D^2 / (n0*(nt-n0)),
+    #   D = s0*nt - st*n0  (an exact int64)
+    # — ONE double multiply + ONE divide on exactly-representable
+    # integers, so the value (and the argmax over it) is bit-identical
+    # in any IEEE engine; the mu-subtraction form's operation order
+    # left a last-ulp divergence visible at sf0.1 magnitudes
     scored = (
         cum.crossJoin(F.broadcast(tot))
         .filter(F.col("n0") < F.col("nt"))
-        .withColumn("mu0", F.col("s0") / F.col("n0"))
-        .withColumn("mu1", (F.col("st") - F.col("s0")) / (F.col("nt") - F.col("n0")))
+        .withColumn(
+            "_d",
+            (
+                F.col("s0") * F.col("nt") - F.col("st") * F.col("n0")
+            ).cast("double"),
+        )
         .withColumn(
             "between",
-            F.col("n0")
-            * (F.col("nt") - F.col("n0"))
-            * (F.col("mu0") - F.col("mu1"))
-            * (F.col("mu0") - F.col("mu1")),
+            (F.col("_d") * F.col("_d"))
+            / (F.col("n0") * (F.col("nt") - F.col("n0"))).cast("double"),
         )
     )
     return (
@@ -389,7 +398,11 @@ def otsu_threshold(
         .limit(1)
         .select(
             F.col("v").alias("threshold"),
-            F.round(F.col("between"), 4).alias("between_var"),
+            # emitted RAW: the D^2/den construction is bit-identical
+            # across engines, while round(x, 4) at 1e11 magnitudes sits
+            # BELOW double ulp resolution (~6e-5) and the two engines'
+            # rounding implementations legitimately disagree there
+            F.col("between").alias("between_var"),
             F.col("n0").alias("n_below"),
             (F.col("nt") - F.col("n0")).alias("n_above"),
         )
